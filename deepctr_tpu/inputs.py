@@ -1,0 +1,182 @@
+"""Embedding engine + flat-matrix lookup helpers.
+
+Reference parity: deepctr_torch/inputs.py:126-245.  Tables live in one
+``EmbeddingDict`` linen module whose parameters are plain ``[vocab, dim]``
+arrays keyed by ``embedding_name`` — a layout that (a) gives deterministic
+parameter paths (``.../embedding_dict/<name>``) for per-group regularization
+and sharding rules, and (b) row-shards cleanly over the 'model' mesh axis.
+
+Every lookup is a static column slice of the flat input matrix + int cast +
+gather; there is no dynamic shape anywhere on the device path.
+"""
+
+from collections import defaultdict
+from itertools import chain
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .features import SparseFeat, DenseFeat, VarLenSparseFeat
+from .layers.sequence import masked_pooling
+from .layers.utils import concat_fun
+
+
+class EmbeddingDict(nn.Module):
+    """All embedding tables for a feature-column list, deduped by
+    ``embedding_name`` (shared tables).  ``linear=True`` builds dim-1 tables
+    for the wide/linear part.
+    (reference parity: deepctr_torch/inputs.py:158-180)
+    """
+    feature_columns: tuple
+    init_std: float = 1e-4
+    linear: bool = False
+
+    def setup(self):
+        tables = {}
+        for feat in self.feature_columns:
+            if isinstance(feat, (SparseFeat, VarLenSparseFeat)):
+                name = feat.embedding_name
+                if name in tables:
+                    continue
+                dim = 1 if self.linear else feat.embedding_dim
+                tables[name] = self.param(
+                    name, nn.initializers.normal(self.init_std),
+                    (feat.vocabulary_size, dim))
+        self.tables = tables
+
+    def __call__(self, name, ids):
+        """Gather rows: ids int [..., ] -> [..., dim]."""
+        return jnp.take(self.tables[name], ids, axis=0)
+
+
+def sparse_ids(X, span):
+    """Static column slice -> int32 ids."""
+    return X[:, span[0]:span[1]].astype(jnp.int32)
+
+
+def embedding_lookup(X, embedding_dict, feature_index, sparse_feature_columns,
+                     return_feat_list=(), mask_feat_list=(), to_list=False):
+    """Gather [B,1,E] embeddings per sparse feature, grouped by group_name.
+    (reference parity: deepctr_torch/inputs.py:183-210)
+    """
+    group_embedding_dict = defaultdict(list)
+    for fc in sparse_feature_columns:
+        feature_name = fc.name
+        if len(return_feat_list) == 0 or feature_name in return_feat_list:
+            ids = sparse_ids(X, feature_index[feature_name])
+            emb = embedding_dict(fc.embedding_name, ids)
+            group_embedding_dict[fc.group_name].append(emb)
+    if to_list:
+        return list(chain.from_iterable(group_embedding_dict.values()))
+    return group_embedding_dict
+
+
+def varlen_embedding_lookup(X, embedding_dict, feature_index,
+                            varlen_sparse_feature_columns):
+    """Gather [B,maxlen,E] sequences per varlen feature.
+    (reference parity: deepctr_torch/inputs.py:213-227)
+    """
+    out = {}
+    for fc in varlen_sparse_feature_columns:
+        ids = sparse_ids(X, feature_index[fc.name])
+        out[fc.name] = embedding_dict(fc.embedding_name, ids)
+    return out
+
+
+def get_varlen_pooling_list(embedding_vec_dict, X, feature_index,
+                            varlen_sparse_feature_columns):
+    """Masked-pool each varlen sequence to [B,1,E]; masking either by
+    ``ids != 0`` or by an explicit length column.
+    (reference parity: deepctr_torch/inputs.py:141-155)
+    """
+    pooled = []
+    for feat in varlen_sparse_feature_columns:
+        seq_emb = embedding_vec_dict[feat.name]
+        if feat.length_name is None:
+            mask = sparse_ids(X, feature_index[feat.name]) != 0   # [B,T]
+            emb = masked_pooling([seq_emb, mask], feat.combiner,
+                                 supports_masking=True)
+        else:
+            length = X[:, feature_index[feat.length_name][0]:
+                       feature_index[feat.length_name][1]]
+            emb = masked_pooling([seq_emb, length], feat.combiner,
+                                 supports_masking=False)
+        pooled.append(emb)
+    return pooled
+
+
+def get_dense_input(X, feature_index, feature_columns):
+    """Slice dense columns to a list of [B, d] float arrays.
+    (reference parity: deepctr_torch/inputs.py:230-238)
+    """
+    dense_feature_columns = [f for f in feature_columns
+                             if isinstance(f, DenseFeat)]
+    return [X[:, feature_index[fc.name][0]:feature_index[fc.name][1]]
+            for fc in dense_feature_columns]
+
+
+def combined_dnn_input(sparse_embedding_list, dense_value_list):
+    """Flatten+concat sparse embeddings and dense values to the [B, D] DNN
+    input.  (reference parity: deepctr_torch/inputs.py:126-138)
+    """
+    if len(sparse_embedding_list) > 0 and len(dense_value_list) > 0:
+        sparse_dnn_input = jnp.concatenate(
+            sparse_embedding_list, axis=-1).reshape(
+                sparse_embedding_list[0].shape[0], -1)
+        dense_dnn_input = jnp.concatenate(
+            dense_value_list, axis=-1).reshape(dense_value_list[0].shape[0], -1)
+        return concat_fun([sparse_dnn_input,
+                           dense_dnn_input.astype(sparse_dnn_input.dtype)])
+    elif len(sparse_embedding_list) > 0:
+        return jnp.concatenate(sparse_embedding_list, axis=-1).reshape(
+            sparse_embedding_list[0].shape[0], -1)
+    elif len(dense_value_list) > 0:
+        return jnp.concatenate(dense_value_list, axis=-1).reshape(
+            dense_value_list[0].shape[0], -1)
+    raise NotImplementedError
+
+
+def maxlen_lookup(X, feature_index, maxlen_column):
+    """Slice the behavior-length column (DIN/DIEN protocol).
+    (reference parity: deepctr_torch/inputs.py:241-245)
+    """
+    if maxlen_column is None or len(maxlen_column) == 0:
+        raise ValueError("please add max length column for VarLenSparseFeat "
+                         "of DIN/DIEN input")
+    span = feature_index[maxlen_column[0]]
+    return X[:, span[0]:span[1]].astype(jnp.int32)
+
+
+def compute_input_dim(feature_columns, include_sparse=True,
+                      include_dense=True, feature_group=False):
+    """DNN input width implied by a feature-column list.
+    (reference parity: deepctr_torch/models/basemodel.py:382-400)
+    """
+    sparse_feature_columns = [f for f in feature_columns
+                              if isinstance(f, (SparseFeat, VarLenSparseFeat))]
+    dense_feature_columns = [f for f in feature_columns
+                             if isinstance(f, DenseFeat)]
+    dense_input_dim = sum(f.dimension for f in dense_feature_columns)
+    if feature_group:
+        sparse_input_dim = len(sparse_feature_columns)
+    else:
+        sparse_input_dim = sum(f.embedding_dim for f in sparse_feature_columns)
+    input_dim = 0
+    if include_sparse:
+        input_dim += sparse_input_dim
+    if include_dense:
+        input_dim += dense_input_dim
+    return input_dim
+
+
+def embedding_size_of(feature_columns):
+    """Shared embedding dim; raises if sparse features disagree.
+    (reference parity: deepctr_torch/models/basemodel.py:518-527)
+    """
+    sparse_feature_columns = [f for f in feature_columns
+                              if isinstance(f, (SparseFeat, VarLenSparseFeat))]
+    sizes = set(f.embedding_dim for f in sparse_feature_columns)
+    if len(sizes) > 1:
+        raise ValueError("embedding_dim of SparseFeat and VarlenSparseFeat "
+                         "must be same in this model!")
+    return list(sizes)[0]

@@ -1,0 +1,249 @@
+"""Sequence (behavior-history) layers.
+
+Reference parity: deepctr_torch/layers/sequence.py.  The reference's
+PackedSequence + python time-step loop (its worst serial bottleneck,
+sequence.py:285-320) is replaced by mask-based ``jax.lax.scan`` over a
+static ``maxlen`` axis — the idiomatic XLA form: static shapes, no host
+sync, rows with length 0 simply never update their carry.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import config
+
+
+def masked_pooling(seq_value_len_list, mode, supports_masking):
+    """Masked sum/mean/max pooling over [B, T, E] -> [B, 1, E].
+
+    With ``supports_masking=True`` the second element is a boolean mask
+    [B, T]; otherwise it is an explicit length column [B, 1].
+    (reference parity: deepctr_torch/layers/sequence.py:9-77)
+    """
+    if mode not in ("sum", "mean", "max"):
+        raise ValueError("parameter mode should in [sum, mean, max]")
+    if supports_masking:
+        seq, mask = seq_value_len_list          # [B,T,E], [B,T] bool
+        mask = mask.astype(seq.dtype)
+        length = jnp.sum(mask, axis=-1, keepdims=True)   # [B,1]
+        mask = mask[:, :, None]
+    else:
+        seq, length = seq_value_len_list        # [B,T,E], [B,1]
+        T = seq.shape[1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        mask = (pos < length.astype(jnp.int32))[:, :, None].astype(seq.dtype)
+    if mode == "max":
+        hist = seq - (1.0 - mask) * 1e9
+        return jnp.max(hist, axis=1, keepdims=True)
+    hist = jnp.sum(seq * mask, axis=1, keepdims=False)
+    if mode == "mean":
+        hist = hist / (length.astype(seq.dtype) + 1e-8)
+    return hist[:, None, :]
+
+
+class SequencePoolingLayer(nn.Module):
+    """Module wrapper around :func:`masked_pooling` (API parity with the
+    reference layer, deepctr_torch/layers/sequence.py:9-77)."""
+    mode: str = "mean"
+    supports_masking: bool = False
+
+    @nn.compact
+    def __call__(self, seq_value_len_list):
+        return masked_pooling(seq_value_len_list, self.mode,
+                              self.supports_masking)
+
+
+class AttentionSequencePoolingLayer(nn.Module):
+    """DIN/DIEN attention over history: LocalActivationUnit scores, masked,
+    optionally softmax-normalized, then weighted-summed over keys.
+    (reference parity: deepctr_torch/layers/sequence.py:80-154)
+    """
+    att_hidden_units: tuple = (80, 40)
+    att_activation: str = "sigmoid"
+    weight_normalization: bool = False
+    return_score: bool = False
+    supports_masking: bool = False
+
+    @nn.compact
+    def __call__(self, query, keys, keys_length=None, mask=None,
+                 training=False):
+        from .core import LocalActivationUnit
+        from ..ops import din_attention
+        B, T, _ = keys.shape
+        if self.supports_masking:
+            if mask is None:
+                raise ValueError(
+                    "When supports_masking=True, input must support masking")
+            keys_masks = mask[:, None, :]                       # [B,1,T]
+        else:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+            keys_masks = (pos < keys_length.reshape(-1, 1))[:, None, :]
+        scores = LocalActivationUnit(
+            hidden_units=self.att_hidden_units,
+            activation=self.att_activation,
+            name="local_att")(query, keys, training)            # [B,T,1]
+        outputs = jnp.transpose(scores, (0, 2, 1))              # [B,1,T]
+        return din_attention(outputs, keys, keys_masks,
+                             self.weight_normalization, self.return_score)
+
+
+class KMaxPooling(nn.Module):
+    """Top-k values along an axis, sorted descending.
+    (reference parity: deepctr_torch/layers/sequence.py:157-189)
+    """
+    k: int
+    axis: int
+
+    @nn.compact
+    def __call__(self, inputs):
+        if self.axis < 0 or self.axis >= inputs.ndim:
+            raise ValueError("axis must be 0~%d,now is %d"
+                             % (inputs.ndim - 1, self.axis))
+        if self.k < 1 or self.k > inputs.shape[self.axis]:
+            raise ValueError("k must be in 1 ~ %d,now k is %d"
+                             % (inputs.shape[self.axis], self.k))
+        x = jnp.moveaxis(inputs, self.axis, -1)
+        top, _ = jax.lax.top_k(x, self.k)
+        return jnp.moveaxis(top, -1, self.axis)
+
+
+def _gru_params(module, input_size, hidden_size, init_std):
+    init = nn.initializers.normal(init_std)
+    w_ih = module.param("weight_ih", init, (3 * hidden_size, input_size))
+    w_hh = module.param("weight_hh", init, (3 * hidden_size, hidden_size))
+    b_ih = module.param("bias_ih", nn.initializers.zeros, (3 * hidden_size,))
+    b_hh = module.param("bias_hh", nn.initializers.zeros, (3 * hidden_size,))
+    return w_ih, w_hh, b_ih, b_hh
+
+
+def _gru_gates(x, h, w_ih, w_hh, b_ih, b_hh):
+    dtype = x.dtype
+    gi = x @ w_ih.T.astype(dtype) + b_ih.astype(dtype)
+    gh = h @ w_hh.T.astype(dtype) + b_hh.astype(dtype)
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    return i_r, i_z, i_n, h_r, h_z, h_n
+
+
+class AGRUCell(nn.Module):
+    """GRU cell whose update gate is *replaced* by the attention score.
+    (reference parity: deepctr_torch/layers/sequence.py:192-235)
+    """
+    input_size: int
+    hidden_size: int
+    init_std: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, h, att_score):
+        w = _gru_params(self, self.input_size, self.hidden_size, self.init_std)
+        i_r, _, i_n, h_r, _, h_n = _gru_gates(x, h, *w)
+        reset = jax.nn.sigmoid(i_r + h_r)
+        new = jnp.tanh(i_n + reset * h_n)
+        a = att_score.reshape(-1, 1).astype(h.dtype)
+        return (1.0 - a) * h + a * new
+
+
+class AUGRUCell(nn.Module):
+    """GRU cell with attention-scaled update gate (AUGRU, DIEN).
+    (reference parity: deepctr_torch/layers/sequence.py:238-282)
+    """
+    input_size: int
+    hidden_size: int
+    init_std: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, h, att_score):
+        w = _gru_params(self, self.input_size, self.hidden_size, self.init_std)
+        i_r, i_z, i_n, h_r, h_z, h_n = _gru_gates(x, h, *w)
+        reset = jax.nn.sigmoid(i_r + h_r)
+        update = jax.nn.sigmoid(i_z + h_z)
+        new = jnp.tanh(i_n + reset * h_n)
+        a = att_score.reshape(-1, 1).astype(h.dtype)
+        update = a * update
+        return (1.0 - update) * h + update * new
+
+
+class DynamicGRU(nn.Module):
+    """Attention-gated GRU over padded sequences via ``lax.scan``.
+
+    Replaces the reference's python loop over a PackedSequence
+    (deepctr_torch/layers/sequence.py:285-320) with a masked scan: carry is
+    only updated for steps ``t < length``, so the final carry equals the
+    state at each row's true length and padded steps emit zeros.
+
+    Returns ``(outputs [B,T,H] zero-padded, final_state [B,H])``.
+    """
+    input_size: int
+    hidden_size: int
+    gru_type: str = "AGRU"
+    init_std: float = 1e-3
+
+    @nn.compact
+    def __call__(self, inputs, att_scores, lengths):
+        B, T, _ = inputs.shape
+        H = self.hidden_size
+        w = _gru_params(self, self.input_size, H, self.init_std)
+        is_augru = self.gru_type == "AUGRU"
+        if self.gru_type not in ("AGRU", "AUGRU"):
+            raise NotImplementedError(self.gru_type)
+        dtype = inputs.dtype
+
+        def step(h, xs):
+            x_t, a_t, t = xs
+            i_r, i_z, i_n, h_r, h_z, h_n = _gru_gates(x_t, h, *w)
+            reset = jax.nn.sigmoid(i_r + h_r)
+            new = jnp.tanh(i_n + reset * h_n)
+            a = a_t.reshape(-1, 1).astype(dtype)
+            if is_augru:
+                update = a * jax.nn.sigmoid(i_z + h_z)
+            else:
+                update = a
+            h_new = (1.0 - update) * h + update * new
+            valid = (t < lengths.astype(jnp.int32)).reshape(-1, 1)
+            h_next = jnp.where(valid, h_new, h)
+            out_t = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+            return h_next, out_t
+
+        h0 = jnp.zeros((B, H), dtype)
+        ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
+        xs = (jnp.swapaxes(inputs, 0, 1), jnp.swapaxes(att_scores, 0, 1), ts)
+        h_final, outs = jax.lax.scan(step, h0, xs)
+        return jnp.swapaxes(outs, 0, 1), h_final
+
+
+class MaskedGRU(nn.Module):
+    """Standard (torch-gate-layout) GRU over padded [B,T,I] sequences with a
+    length mask; the TPU replacement for ``nn.GRU(pack_padded_sequence(...))``
+    used by DIEN's interest extractor (deepctr_torch/models/dien.py:220-224).
+
+    Returns ``(outputs [B,T,H] zero-padded, final_state [B,H])``.
+    """
+    input_size: int
+    hidden_size: int
+    init_std: float = 1e-3
+
+    @nn.compact
+    def __call__(self, inputs, lengths):
+        B, T, _ = inputs.shape
+        H = self.hidden_size
+        w = _gru_params(self, self.input_size, H, self.init_std)
+        dtype = inputs.dtype
+
+        def step(h, xs):
+            x_t, t = xs
+            i_r, i_z, i_n, h_r, h_z, h_n = _gru_gates(x_t, h, *w)
+            reset = jax.nn.sigmoid(i_r + h_r)
+            update = jax.nn.sigmoid(i_z + h_z)
+            new = jnp.tanh(i_n + reset * h_n)
+            h_new = (1.0 - update) * new + update * h
+            valid = (t < lengths.astype(jnp.int32)).reshape(-1, 1)
+            h_next = jnp.where(valid, h_new, h)
+            out_t = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+            return h_next, out_t
+
+        h0 = jnp.zeros((B, H), dtype)
+        ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
+        xs = (jnp.swapaxes(inputs, 0, 1), ts)
+        h_final, outs = jax.lax.scan(step, h0, xs)
+        return jnp.swapaxes(outs, 0, 1), h_final

@@ -1,0 +1,44 @@
+"""Small shared helpers (reference parity: deepctr_torch/layers/utils.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def concat_fun(inputs, axis=-1):
+    if len(inputs) == 1:
+        return inputs[0]
+    return jnp.concatenate(inputs, axis=axis)
+
+
+def slice_arrays(arrays, start=None, stop=None):
+    """Keras-style array slicing used by ``fit(validation_split=...)``.
+
+    ``start`` may be a list of indices (fancy indexing) or an int; supports a
+    single array or a list of arrays.
+    (reference parity: deepctr_torch/layers/utils.py:19-70)
+    """
+    if arrays is None:
+        return [None]
+    if isinstance(arrays, np.ndarray):
+        arrays = [arrays]
+    if isinstance(start, list) and stop is not None:
+        raise ValueError("The stop argument has to be None if the value of "
+                         "start is a list.")
+    elif isinstance(arrays, list):
+        if hasattr(start, "__len__"):
+            if hasattr(start, "shape"):
+                start = start.tolist()
+            return [None if x is None else x[start] for x in arrays]
+        else:
+            if len(arrays) == 1:
+                return arrays[0][start:stop]
+            return [None if x is None else x[start:stop] for x in arrays]
+    else:
+        if hasattr(start, "__len__"):
+            if hasattr(start, "shape"):
+                start = start.tolist()
+            return arrays[start]
+        elif hasattr(start, "__getitem__"):
+            return arrays[start:stop]
+        else:
+            return [None]

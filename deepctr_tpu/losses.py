@@ -1,0 +1,65 @@
+"""Training losses (sum-reduction with sample-weight masking).
+
+The engine pads every batch to a fixed shape (one XLA compilation) and
+masks padded rows through ``sw``; reductions are sums to match the
+reference's ``loss_func(..., reduction='sum')`` semantics
+(deepctr_torch/models/basemodel.py:248-254), so the effective step size
+scales with batch size exactly like the reference.
+"""
+
+import inspect
+
+import jax.numpy as jnp
+
+
+def binary_crossentropy(y_pred, y_true, sw):
+    # torch.F.binary_cross_entropy parity: log terms clamped at -100.
+    logp = jnp.clip(jnp.log(y_pred), -100.0, None)
+    lognp = jnp.clip(jnp.log(1.0 - y_pred), -100.0, None)
+    return -jnp.sum(sw * (y_true * logp + (1.0 - y_true) * lognp))
+
+
+def mse(y_pred, y_true, sw):
+    return jnp.sum(sw * (y_pred - y_true) ** 2)
+
+
+def mae(y_pred, y_true, sw):
+    return jnp.sum(sw * jnp.abs(y_pred - y_true))
+
+
+_BUILTIN = {"binary_crossentropy": binary_crossentropy, "mse": mse,
+            "mae": mae}
+
+
+def _wrap_custom(fn):
+    """Adapt a user callable to the (y_pred, y_true, sw) protocol.
+
+    Accepts either the native 3-arg form or the reference-style
+    ``fn(y_pred, y_true, reduction='sum')`` form (which ignores sw — only
+    safe when batches are not padded, i.e. single-device full batches).
+    """
+    try:
+        n_params = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 3:
+        sig_params = list(inspect.signature(fn).parameters)
+        if "reduction" in sig_params:
+            return lambda yp, yt, sw: fn(yp, yt, reduction="sum")
+        return fn
+    return lambda yp, yt, sw: jnp.sum(fn(yp, yt) * sw)
+
+
+def resolve_loss(loss):
+    """Name / callable / list thereof -> canonical (yp, yt, sw) callables.
+    (reference parity: basemodel.py:463-481)
+    """
+    if loss is None:
+        return None
+    if isinstance(loss, str):
+        if loss not in _BUILTIN:
+            raise NotImplementedError("unknown loss %r" % loss)
+        return _BUILTIN[loss]
+    if isinstance(loss, (list, tuple)):
+        return [resolve_loss(l) for l in loss]
+    return _wrap_custom(loss)

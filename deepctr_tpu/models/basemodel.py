@@ -1,0 +1,521 @@
+"""Keras-style training engine over jit-compiled functional train steps.
+
+Reference parity: deepctr_torch/models/basemodel.py:95-527 (compile / fit /
+evaluate / predict, per-group L1/L2 regularization as an explicit loss term,
+auxiliary-loss channel, History/EarlyStopping/ModelCheckpoint callbacks,
+validation_split semantics).
+
+TPU-native design decisions (vs the reference's eager loop):
+  * the whole step — forward, loss, per-group reg, grads, optimizer — is ONE
+    jitted function with donated state; batches are padded to a fixed shape
+    so each model compiles exactly once;
+  * padded rows are masked via a sample-weight vector;
+  * multi-device runs go through a `jax.sharding.Mesh`: the batch is sharded
+    over the 'data' axis, embedding tables can be row-sharded over 'model'
+    (see deepctr_tpu.parallel); XLA inserts the gradient all-reduces.
+"""
+
+import re
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import freeze, unfreeze
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    tqdm = None
+
+from ..callbacks import CallbackList, History
+from ..features import build_input_features
+from ..inputs import compute_input_dim, embedding_size_of
+from ..layers.utils import slice_arrays
+from ..losses import resolve_loss
+from ..utils import serialization
+from ..utils.metrics import resolve_metrics
+
+warnings.filterwarnings("ignore",
+                        message=".*donated buffers were not usable.*")
+
+
+def _get_optimizer(optimizer):
+    """Name -> optax transform with torch-default hyperparameters.
+    (reference parity: basemodel.py:447-461)
+    """
+    if isinstance(optimizer, str):
+        if optimizer == "sgd":
+            return optax.sgd(0.01)
+        if optimizer == "adam":
+            return optax.adam(0.001, eps=1e-8)
+        if optimizer == "adagrad":
+            return optax.adagrad(0.01, initial_accumulator_value=0.0,
+                                 eps=1e-10)
+        if optimizer == "rmsprop":
+            return optax.rmsprop(0.01, decay=0.99, eps=1e-8)
+        raise NotImplementedError("unknown optimizer %r" % optimizer)
+    return optimizer
+
+
+class BaseModel(object):
+    """Engine wrapper around a linen module: owns params/opt state, the
+    jitted step functions and the Keras-style training loop.
+    """
+
+    def __init__(self, linear_feature_columns, dnn_feature_columns, module,
+                 l2_reg_linear=1e-5, l2_reg_embedding=1e-5, init_std=1e-4,
+                 seed=1024, task="binary", device=None, gpus=None, mesh=None,
+                 shard_embeddings=False):
+        self.linear_feature_columns = list(linear_feature_columns)
+        self.dnn_feature_columns = list(dnn_feature_columns)
+        self.feature_index = build_input_features(
+            self.linear_feature_columns + self.dnn_feature_columns)
+        self.input_dim = (max(e for _, e in self.feature_index.values())
+                          if self.feature_index else 0)
+        self.module = module
+        self.seed = seed
+        self.task = task
+        self.device = device   # accepted for API parity; JAX picks devices
+        self.gpus = gpus
+        self.mesh = mesh
+        self.shard_embeddings = shard_embeddings
+        self.num_tasks = 1
+        self.stop_training = False
+        self.history = History()
+        self.aux_loss_alpha = 0.0
+        self._init_kwargs = getattr(self, "_init_kwargs", {})
+
+        # per-group regularization rules: (path_regex, l1, l2)
+        self.regularization_rules = []
+        self.add_regularization_rule(r"^embedding_dict/", l2=l2_reg_embedding)
+        self.add_regularization_rule(r"^linear_model/", l2=l2_reg_linear)
+
+        # --- init parameters ---
+        rng = jax.random.PRNGKey(seed)
+        x0 = jnp.zeros((2, max(self.input_dim, 1)), jnp.float32)
+        variables = module.init({"params": rng, "dropout": rng}, x0,
+                                training=False)
+        variables = unfreeze(variables)
+        self.params = variables.get("params", {})
+        self.batch_stats = variables.get("batch_stats", {})
+
+        self._compiled = False
+        self._train_step = None
+        self._predict_fn = None
+        self._sharding_applied = False
+        self.optim = None
+
+    # ------------------------------------------------------------------
+    # regularization / aux loss
+    # ------------------------------------------------------------------
+    def add_regularization_rule(self, pattern, l1=0.0, l2=0.0):
+        """Register explicit L1/L2 on every param whose '/'-joined path
+        matches ``pattern``.  TPU-native replacement for the reference's
+        ``add_regularization_weight`` over live parameter lists
+        (basemodel.py:402-428)."""
+        if l1 > 0 or l2 > 0:
+            self.regularization_rules.append((pattern, float(l1), float(l2)))
+
+    # API-parity alias (patterns instead of parameter lists)
+    add_regularization_weight = add_regularization_rule
+
+    def _build_reg_fn(self):
+        flat = _flatten_with_paths(self.params)
+        groups = []
+        for pattern, l1, l2 in self.regularization_rules:
+            rx = re.compile(pattern)
+            paths = [p for p, _ in flat if rx.search(p)]
+            if paths:
+                groups.append((tuple(paths), l1, l2))
+
+        def reg_fn(params):
+            total = jnp.zeros((), jnp.float32)
+            for paths, l1, l2 in groups:
+                for p in paths:
+                    w = _get_path(params, p)
+                    if l1 > 0:
+                        total = total + jnp.sum(l1 * jnp.abs(w))
+                    if l2 > 0:
+                        total = total + jnp.sum(l2 * jnp.square(w))
+            return total
+        return reg_fn
+
+    # ------------------------------------------------------------------
+    # compile
+    # ------------------------------------------------------------------
+    def compile(self, optimizer, loss=None, metrics=None):
+        """Configure optimizer (name or optax transform), loss (name,
+        callable, or per-task list) and metrics (names).
+        (reference parity: basemodel.py:433-445)
+        """
+        self.metrics_names = ["loss"]
+        self.optim = _get_optimizer(optimizer)
+        self.loss_func = resolve_loss(loss)
+        self.metrics = resolve_metrics(metrics)
+        for name in self.metrics:
+            self.metrics_names.append(name)
+        self.opt_state = self.optim.init(self.params)
+        self._compiled = False
+        return self
+
+    def _make_forward(self):
+        module = self.module
+        has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+
+        def forward(params, batch_stats, X, training, rng):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats", "aux_loss"] if training else ["aux_loss"]
+            rngs = {"dropout": rng} if training else None
+            y_pred, mutated = module.apply(variables, X, training=training,
+                                           rngs=rngs, mutable=mutable)
+            new_stats = mutated.get("batch_stats", batch_stats)
+            aux = jnp.zeros((), jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(mutated.get("aux_loss", {})):
+                aux = aux + jnp.sum(leaf)
+            return y_pred, new_stats, aux
+        return forward
+
+    def _ensure_predict_fn(self):
+        if self._predict_fn is not None:
+            return
+        forward = self._make_forward()
+
+        def predict_step(params, batch_stats, X):
+            y_pred, _, _ = forward(params, batch_stats, X, False,
+                                   jax.random.PRNGKey(0))
+            return y_pred
+        self._predict_fn = jax.jit(predict_step)
+        if self.mesh is not None and not self._sharding_applied:
+            self._apply_sharding()
+
+    def _ensure_compiled(self):
+        if self._compiled:
+            return
+        if self.optim is None:
+            raise RuntimeError("call model.compile(...) before fit()")
+        optim = self.optim
+        loss_func = self.loss_func
+        reg_fn = self._build_reg_fn()
+        num_tasks = self.num_tasks
+        forward = self._make_forward()
+
+        def compute_loss(y_pred, y, sw):
+            if isinstance(loss_func, list):
+                assert len(loss_func) == num_tasks, (
+                    "the length of `loss_func` should be equal with "
+                    "`self.num_tasks`")
+                return sum(loss_func[i](y_pred[:, i], y[:, i], sw)
+                           for i in range(num_tasks))
+            if num_tasks > 1:
+                return loss_func(y_pred, y, sw[:, None])
+            return loss_func(y_pred.reshape(-1), y.reshape(-1), sw)
+
+        def train_step(params, opt_state, batch_stats, rng, X, y, sw):
+            def loss_fn(p):
+                y_pred, new_stats, aux = forward(p, batch_stats, X, True, rng)
+                data_loss = compute_loss(y_pred.astype(jnp.float32), y, sw)
+                total = data_loss + reg_fn(p) + aux
+                return total, (new_stats, data_loss, y_pred)
+            (total, (new_stats, data_loss, y_pred)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(params))
+            updates, new_opt_state = optim.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_opt_state, new_stats, data_loss, total,
+                    y_pred)
+
+        donate = (0, 1, 2)
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
+        self._ensure_predict_fn()
+        self._compiled = True
+        self._apply_sharding()
+
+    def _apply_sharding(self):
+        if self.mesh is None or self._sharding_applied:
+            return
+        from ..parallel.sharding import (shard_variables, batch_sharding)
+        self.params, self.batch_stats, self.opt_state = shard_variables(
+            self.mesh, self.params, self.batch_stats,
+            getattr(self, "opt_state", None),
+            shard_embeddings=self.shard_embeddings)
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._sharding_applied = True
+
+    def _put_batch(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+
+    # ------------------------------------------------------------------
+    # data plumbing
+    # ------------------------------------------------------------------
+    def _assemble_x(self, x):
+        """dict/list of arrays -> one [N, input_dim] float32 matrix."""
+        if isinstance(x, dict):
+            x = [x[feature] for feature in self.feature_index]
+        if isinstance(x, np.ndarray):
+            x = [x]
+        x = [np.asarray(a) for a in x]
+        x = [np.expand_dims(a, 1) if a.ndim == 1 else a for a in x]
+        X = np.concatenate(x, axis=-1).astype(np.float32)
+        if X.shape[1] != self.input_dim:
+            raise ValueError("input width %d != expected %d"
+                             % (X.shape[1], self.input_dim))
+        return X
+
+    # ------------------------------------------------------------------
+    # fit / evaluate / predict
+    # ------------------------------------------------------------------
+    def fit(self, x=None, y=None, batch_size=None, epochs=1, verbose=1,
+            initial_epoch=0, validation_split=0., validation_data=None,
+            shuffle=True, callbacks=None):
+        """Keras-style training loop; returns a History object.
+        (reference parity: basemodel.py:137-309)
+        """
+        if isinstance(x, dict):
+            x = [x[feature] for feature in self.feature_index]
+        if isinstance(x, np.ndarray):
+            x = [x]
+        x = [np.asarray(a) for a in x]
+        y = np.asarray(y)
+
+        do_validation = False
+        if validation_data:
+            do_validation = True
+            if len(validation_data) == 2:
+                val_x, val_y = validation_data
+            elif len(validation_data) == 3:
+                val_x, val_y, _ = validation_data
+            else:
+                raise ValueError(
+                    "When passing a `validation_data` argument, it must "
+                    "contain either 2 items (x_val, y_val), or 3 items "
+                    "(x_val, y_val, val_sample_weights)")
+            if isinstance(val_x, dict):
+                val_x = [val_x[feature] for feature in self.feature_index]
+        elif validation_split and 0. < validation_split < 1.:
+            do_validation = True
+            split_at = int(x[0].shape[0] * (1. - validation_split))
+            x, val_x = (slice_arrays(x, 0, split_at),
+                        slice_arrays(x, split_at))
+            y, val_y = (slice_arrays(y, 0, split_at),
+                        slice_arrays(y, split_at))
+        else:
+            val_x, val_y = [], []
+
+        X = self._assemble_x(x)
+        y = np.asarray(y, dtype=np.float32)
+        if y.ndim == 1:
+            y = y[:, None]
+
+        if batch_size is None:
+            batch_size = 256
+
+        self._ensure_compiled()
+        rng_shuffle = np.random.default_rng(self.seed)
+        base_rng = jax.random.PRNGKey(self.seed + 1)
+
+        sample_num = len(X)
+        steps_per_epoch = (sample_num - 1) // batch_size + 1
+
+        callbacks = CallbackList((callbacks or []) + [self.history])
+        callbacks.set_model(self)
+        callbacks.on_train_begin()
+        self.stop_training = False
+
+        if verbose > 0:
+            print("Train on {0} samples, validate on {1} samples, {2} steps "
+                  "per epoch".format(sample_num, len(val_y),
+                                     steps_per_epoch))
+
+        global_step = 0
+        for epoch in range(initial_epoch, epochs):
+            callbacks.on_epoch_begin(epoch)
+            epoch_logs = {}
+            start_time = time.time()
+            loss_epoch = 0.0
+            total_loss_epoch = 0.0
+            train_result = {}
+
+            order = (rng_shuffle.permutation(sample_num) if shuffle
+                     else np.arange(sample_num))
+            iterator = range(steps_per_epoch)
+            if verbose == 1 and tqdm is not None:
+                iterator = tqdm(iterator, disable=False)
+            try:
+                for step in iterator:
+                    idx = order[step * batch_size:(step + 1) * batch_size]
+                    n_valid = len(idx)
+                    if n_valid < batch_size:  # pad to the compiled shape
+                        pad = np.zeros(batch_size - n_valid, dtype=idx.dtype)
+                        idx = np.concatenate([idx, pad])
+                    xb = X[idx]
+                    yb = y[idx]
+                    sw = np.zeros(batch_size, np.float32)
+                    sw[:n_valid] = 1.0
+                    rng = jax.random.fold_in(base_rng, global_step)
+                    xb, yb, swb = self._put_batch(xb, yb, sw)
+                    (self.params, self.opt_state, self.batch_stats,
+                     data_loss, total_loss, y_pred) = self._train_step(
+                        self.params, self.opt_state, self.batch_stats, rng,
+                        xb, yb, swb)
+                    global_step += 1
+                    loss_epoch += float(data_loss)
+                    total_loss_epoch += float(total_loss)
+                    if verbose > 0 and self.metrics:
+                        y_np = np.asarray(yb)[:n_valid]
+                        p_np = np.asarray(y_pred).astype("float64")[:n_valid]
+                        if self.num_tasks == 1:
+                            y_np = y_np.reshape(-1)
+                            p_np = p_np.reshape(-1)
+                        for name, metric_fun in self.metrics.items():
+                            train_result.setdefault(name, []).append(
+                                metric_fun(y_np, p_np))
+            except KeyboardInterrupt:
+                if hasattr(iterator, "close"):
+                    iterator.close()
+                raise
+            if hasattr(iterator, "close"):
+                iterator.close()
+
+            epoch_logs["loss"] = total_loss_epoch / sample_num
+            for name, result in train_result.items():
+                epoch_logs[name] = np.sum(result) / steps_per_epoch
+
+            if do_validation:
+                eval_result = self.evaluate(val_x, val_y, batch_size)
+                for name, result in eval_result.items():
+                    epoch_logs["val_" + name] = result
+
+            if verbose > 0:
+                epoch_time = int(time.time() - start_time)
+                print("Epoch {0}/{1}".format(epoch + 1, epochs))
+                eval_str = "{0}s - loss: {1: .4f}".format(
+                    epoch_time, epoch_logs["loss"])
+                for name in self.metrics:
+                    eval_str += " - " + name + ": {0: .4f}".format(
+                        epoch_logs[name])
+                if do_validation:
+                    for name in self.metrics:
+                        eval_str += (" - val_" + name + ": {0: .4f}".format(
+                            epoch_logs["val_" + name]))
+                print(eval_str)
+            callbacks.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+        callbacks.on_train_end()
+        return self.history
+
+    def evaluate(self, x, y, batch_size=256):
+        """Metrics over full predictions. (parity: basemodel.py:311-323)"""
+        pred_ans = self.predict(x, batch_size)
+        y = np.asarray(y)
+        eval_result = {}
+        for name, metric_fun in self.metrics.items():
+            if self.num_tasks > 1 and y.ndim > 1 and y.shape[-1] > 1:
+                vals = [metric_fun(y[:, i], pred_ans[:, i])
+                        for i in range(y.shape[-1])]
+                eval_result[name] = float(np.mean(vals))
+            else:
+                eval_result[name] = metric_fun(y.reshape(-1),
+                                               pred_ans.reshape(-1))
+        return eval_result
+
+    def predict(self, x, batch_size=256):
+        """Batched inference -> float64 ndarray [N, out_dim].
+        (parity: basemodel.py:325-352)
+        """
+        X = self._assemble_x(x)
+        self._ensure_predict_fn()
+        n = len(X)
+        outs = []
+        for start in range(0, n, batch_size):
+            xb = X[start:start + batch_size]
+            n_valid = len(xb)
+            if n_valid < batch_size:
+                xb = np.concatenate(
+                    [xb, np.zeros((batch_size - n_valid, X.shape[1]),
+                                  np.float32)])
+            if self.mesh is not None:
+                xb = jax.device_put(xb, self._batch_sharding)
+            y_pred = np.asarray(self._predict_fn(self.params,
+                                                 self.batch_stats, xb))
+            outs.append(y_pred[:n_valid])
+        out = np.concatenate(outs).astype("float64")
+        if out.ndim == 1:
+            out = out[:, None]
+        return out
+
+    # ------------------------------------------------------------------
+    # weights / persistence
+    # ------------------------------------------------------------------
+    def get_weights(self):
+        return {"params": serialization.tree_to_numpy(self.params),
+                "batch_stats": serialization.tree_to_numpy(self.batch_stats)}
+
+    def set_weights(self, weights):
+        self.params = jax.tree_util.tree_map(jnp.asarray, weights["params"])
+        self.batch_stats = jax.tree_util.tree_map(
+            jnp.asarray, weights.get("batch_stats", {}))
+        if getattr(self, "optim", None) is not None:
+            self.opt_state = self.optim.init(self.params)
+        self._sharding_applied = False
+        if self._compiled:
+            self._apply_sharding()
+
+    # torch-flavored aliases used throughout the reference test-suite
+    def state_dict(self):
+        return self.get_weights()
+
+    def load_state_dict(self, weights):
+        self.set_weights(weights)
+
+    def save_weights(self, path):
+        serialization.save_weights(self, path)
+
+    def load_weights(self, path):
+        serialization.load_weights(self, path)
+
+    def save(self, path):
+        serialization.save_model(self, path)
+
+    # ------------------------------------------------------------------
+    # misc parity helpers
+    # ------------------------------------------------------------------
+    def compute_input_dim(self, feature_columns, include_sparse=True,
+                          include_dense=True, feature_group=False):
+        return compute_input_dim(feature_columns, include_sparse,
+                                 include_dense, feature_group)
+
+    @property
+    def embedding_size(self):
+        return embedding_size_of(self.dnn_feature_columns)
+
+    def _capture_init_args(self, local_vars):
+        """Record constructor kwargs so whole-model save/load can rebuild.
+        (`mesh` is excluded — device meshes are process-local, re-supply on
+        load.)"""
+        drop = {"self", "__class__", "mesh"}
+        self._init_kwargs = {k: v for k, v in local_vars.items()
+                             if k not in drop}
+
+
+def _flatten_with_paths(tree, prefix=()):
+    out = []
+    if isinstance(tree, dict):
+        for k in sorted(tree.keys()):
+            out.extend(_flatten_with_paths(tree[k], prefix + (k,)))
+    else:
+        out.append(("/".join(prefix), tree))
+    return out
+
+
+def _get_path(tree, path):
+    node = tree
+    for k in path.split("/"):
+        node = node[k]
+    return node
