@@ -13,10 +13,18 @@ import jax.numpy as jnp
 
 
 def binary_crossentropy(y_pred, y_true, sw):
-    # torch.F.binary_cross_entropy parity: log terms clamped at -100.
-    logp = jnp.clip(jnp.log(y_pred), -100.0, None)
-    lognp = jnp.clip(jnp.log(1.0 - y_pred), -100.0, None)
-    return -jnp.sum(sw * (y_true * logp + (1.0 - y_true) * lognp))
+    """Sum-reduced BCE on probabilities.
+
+    Inputs are clipped to [eps, 1-eps] *before* the log (the Keras-stable
+    form): at a saturated sigmoid the reference's torch backward returns a
+    huge-but-finite gradient, while a clamp-after-log would produce
+    ``inf * 0 = NaN`` under autodiff.  Clipping first keeps gradients finite
+    (zero at the clamp) with identical loss values away from saturation.
+    """
+    eps = 1e-7
+    p = jnp.clip(y_pred, eps, 1.0 - eps)
+    return -jnp.sum(sw * (y_true * jnp.log(p) +
+                          (1.0 - y_true) * jnp.log(1.0 - p)))
 
 
 def mse(y_pred, y_true, sw):

@@ -1,0 +1,56 @@
+"""Mesh/sharding tests on the 8-virtual-CPU-device backend."""
+
+import numpy as np
+import jax
+import pytest
+
+from deepctr_tpu.parallel import make_mesh
+from deepctr_tpu.models import DeepFM
+from .utils import get_test_data
+
+
+def _get_model_and_data(mesh, shard_embeddings):
+    x, y, cols = get_test_data(64, sparse_feature_num=3, dense_feature_num=2)
+    model = DeepFM(cols, cols, dnn_hidden_units=(16,), mesh=mesh,
+                   shard_embeddings=shard_embeddings)
+    return model, x, y
+
+
+@pytest.mark.parametrize("shape,shard_embeddings",
+                         [((8, 1), False), ((4, 2), True), ((2, 4), True)])
+def test_data_parallel_fit(shape, shard_embeddings):
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(shape)
+    model, x, y = _get_model_and_data(mesh, shard_embeddings)
+    model.compile("adam", "binary_crossentropy",
+                  metrics=["binary_crossentropy"])
+    model.fit(x, y, batch_size=32, epochs=2, validation_split=0.5, verbose=0)
+    pred = model.predict(x, batch_size=32)
+    assert pred.shape == (64, 1)
+    assert np.all(np.isfinite(pred))
+
+
+def test_sharded_matches_single_device():
+    """The same seed must give (numerically close) results with and
+    without the mesh — sharding is a layout, not a math change."""
+    np.random.seed(0)
+    x, y, cols = get_test_data(64, sparse_feature_num=2, dense_feature_num=1,
+                               sequence_feature=())
+    m1 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m1.compile("adam", "binary_crossentropy")
+    m1.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    p1 = m1.predict(x, 32)
+
+    mesh = make_mesh((4, 2))
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                shard_embeddings=True)
+    m2.compile("adam", "binary_crossentropy")
+    m2.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+    p2 = m2.predict(x, 32)
+    assert np.allclose(p1, p2, atol=1e-4), np.abs(p1 - p2).max()
+
+
+def test_graft_entry_dryrun():
+    import importlib
+    mod = importlib.import_module("__graft_entry__")
+    mod.dryrun_multichip(8)
