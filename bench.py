@@ -1,14 +1,21 @@
 """Headline benchmark: DeepFM training throughput (examples/sec/chip) on a
-Criteo-shaped synthetic workload, run on whatever accelerator JAX exposes.
+Criteo-shaped synthetic workload.
+
+Measurement notes (axon TPU tunnel):
+  * host<->device transfer through the tunnel is pathologically slow and
+    `block_until_ready` does not block — so the batch is generated ON
+    DEVICE, `STEPS` train steps run inside ONE jitted `lax.fori_loop`, and
+    timing is closed by reading back a single scalar (forces completion).
+  * per-dispatch round-trip is ~30 ms; the step loop amortizes it.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` is measured against the reference implementation
-(DeepCTR-Torch, CPU torch in this image) running the same model/batch on
-this host when available, else against the recorded torch-CPU number in
-BASELINE.md context (the reference publishes no numbers of its own —
-see BASELINE.md).
+``vs_baseline`` compares against the reference implementation
+(DeepCTR-Torch, torch CPU on this host — it has no TPU backend and
+publishes no numbers of its own, see BASELINE.md): same model, same shapes,
+measured via ``bench_reference`` (cached constant below; re-measure with
+BENCH_RUN_REFERENCE=1).
 """
 
 import json
@@ -24,73 +31,78 @@ N_DENSE = 13
 VOCAB = 10000
 EMB_DIM = 16
 BATCH = 4096
-STEPS = 30
-WARMUP = 5
+STEPS = 50
 HIDDEN = (400, 400, 400)
 
 # Reference DeepFM examples/sec at the same shapes, measured on this host
-# (torch CPU, bench_reference() below, 2026-08-16).  Overridden live when
-# BENCH_RUN_REFERENCE=1.
+# (torch CPU, bench_reference() below, 2026-08-16).
 FALLBACK_REFERENCE_EPS = 21296.0
 
 
-def make_data(n):
-    rng = np.random.default_rng(0)
-    x = {}
-    for i in range(N_SPARSE):
-        x["C%d" % i] = rng.integers(0, VOCAB, n).astype(np.int64)
-    for i in range(N_DENSE):
-        x["I%d" % i] = rng.random(n).astype(np.float32)
-    y = rng.integers(0, 2, n).astype(np.float32)
-    return x, y
-
-
-def bench_tpu():
-    from deepctr_tpu import config as dc_config
+def _columns():
     from deepctr_tpu.features import SparseFeat, DenseFeat
-    from deepctr_tpu.models import DeepFM
+    return ([SparseFeat("C%d" % i, VOCAB, EMB_DIM) for i in range(N_SPARSE)]
+            + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
+
+
+def _device_batch(key, input_dim, feature_index):
+    """Synthesize one flat [BATCH, input_dim] batch on device."""
     import jax
+    import jax.numpy as jnp
+    cols = []
+    # feature_index order: 26 sparse spans then 13 dense spans
+    ids = jax.random.randint(key, (BATCH, N_SPARSE), 0, VOCAB)
+    dense = jax.random.uniform(key, (BATCH, N_DENSE))
+    X = jnp.concatenate([ids.astype(jnp.float32), dense], axis=1)
+    y = jax.random.bernoulli(key, 0.25, (BATCH, 1)).astype(jnp.float32)
+    sw = jnp.ones((BATCH,), jnp.float32)
+    return X, y, sw
+
+
+def bench_model(model_cls, **kwargs):
+    from deepctr_tpu import config as dc_config
+    import jax
+    import jax.numpy as jnp
 
     dc_config.set_compute_dtype("bfloat16")
-    cols = ([SparseFeat("C%d" % i, VOCAB, EMB_DIM) for i in range(N_SPARSE)]
-            + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
-    model = DeepFM(cols, cols, dnn_hidden_units=HIDDEN)
+    cols = _columns()
+    model = model_cls(cols, cols, **kwargs)
     model.compile("adagrad", "binary_crossentropy", metrics=[])
-
-    n = BATCH * 4
-    x, y = make_data(n)
-    X = model._assemble_x(x)
-    yv = y[:, None]
-    sw = np.ones(BATCH, np.float32)
-
     model._ensure_compiled()
-    step = model._train_step
-    rng = jax.random.PRNGKey(0)
+    step = model._train_step.__wrapped__  # un-jitted step fn
+    key = jax.random.PRNGKey(0)
+    X, y, sw = _device_batch(key, model.input_dim, model.feature_index)
 
-    def run_step(i):
-        lo = (i * BATCH) % n
-        xb = X[lo:lo + BATCH]
-        yb = yv[lo:lo + BATCH]
-        out = step(model.params, model.opt_state, model.batch_stats, rng,
-                   xb, yb, sw)
-        (model.params, model.opt_state, model.batch_stats) = out[:3]
-        return out[3]
+    @jax.jit
+    def run(params, opt_state, batch_stats, n):
+        def body(i, carry):
+            p, o, bs = carry
+            rng = jax.random.fold_in(key, i)
+            p, o, bs, _, total, _ = step(p, o, bs, rng, X, y, sw)
+            return (p, o, bs)
+        p, o, bs = jax.lax.fori_loop(0, n, body,
+                                     (params, opt_state, batch_stats))
+        probe = jax.tree_util.tree_leaves(p)[0]
+        return jnp.sum(probe.reshape(-1)[:4].astype(jnp.float32))
 
-    for i in range(WARMUP):
-        loss = run_step(i)
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        loss = run_step(i)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    def timed(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run(model.params, model.opt_state, model.batch_stats, n).item()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    run(model.params, model.opt_state, model.batch_stats, 1).item()  # warm
+    t1 = timed(1)
+    tn = timed(STEPS + 1)
+    dt = (tn - t1) / STEPS
+    return BATCH / dt
 
 
 def bench_reference():
     """Run the reference DeepCTR-Torch at the same shapes (CPU torch)."""
     sys.path.insert(0, "/root/reference")
-    import torch
     from deepctr_torch.inputs import SparseFeat, DenseFeat
     from deepctr_torch.models import DeepFM as TorchDeepFM
 
@@ -98,16 +110,24 @@ def bench_reference():
             + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
     model = TorchDeepFM(cols, cols, dnn_hidden_units=HIDDEN, device="cpu")
     model.compile("adagrad", "binary_crossentropy", metrics=[])
-    x, y = make_data(BATCH * 2)
+    rng = np.random.default_rng(0)
+    n = BATCH * 2
+    x = {}
+    for i in range(N_SPARSE):
+        x["C%d" % i] = rng.integers(0, VOCAB, n).astype(np.int64)
+    for i in range(N_DENSE):
+        x["I%d" % i] = rng.random(n).astype(np.float32)
+    y = rng.integers(0, 2, n).astype(np.float32)
     steps = 4
     t0 = time.perf_counter()
     model.fit(x, y, batch_size=BATCH, epochs=steps, verbose=0, shuffle=False)
     dt = time.perf_counter() - t0
-    return BATCH * 2 * steps / dt
+    return n * steps / dt
 
 
 def main():
-    eps = bench_tpu()
+    from deepctr_tpu.models import DeepFM
+    eps = bench_model(DeepFM, dnn_hidden_units=HIDDEN)
     ref_eps = FALLBACK_REFERENCE_EPS
     if os.environ.get("BENCH_RUN_REFERENCE") == "1":
         try:
