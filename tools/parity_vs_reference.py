@@ -1,0 +1,88 @@
+"""AUC/LogLoss parity harness: this framework vs DeepCTR-Torch on the
+sample Criteo recipe (identical preprocessing, split and hyperparameters).
+
+The reference publishes no benchmark numbers (BASELINE.md), so parity is
+established by running both frameworks side by side.  Sample datasets are
+tiny, so expect run-to-run noise of a few AUC points; the check is that
+both land in the same band over seeds.
+
+Usage:  python tools/parity_vs_reference.py [epochs]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "examples"))
+
+import numpy as np
+import pandas as pd
+from sklearn.metrics import log_loss, roc_auc_score
+from sklearn.model_selection import train_test_split
+from sklearn.preprocessing import LabelEncoder, MinMaxScaler
+
+
+def prepare():
+    from data_utils import load_criteo_sample
+    data = load_criteo_sample()
+    sparse_features = ["C" + str(i) for i in range(1, 27)]
+    dense_features = ["I" + str(i) for i in range(1, 14)]
+    data[sparse_features] = data[sparse_features].fillna("-1")
+    data[dense_features] = data[dense_features].fillna(0)
+    for feat in sparse_features:
+        data[feat] = LabelEncoder().fit_transform(data[feat])
+    data[dense_features] = MinMaxScaler((0, 1)).fit_transform(
+        data[dense_features])
+    train, test = train_test_split(data, test_size=0.2, random_state=2020)
+    return data, train, test, sparse_features, dense_features
+
+
+def run_ours(data, train, test, sparse, dense, epochs, seed):
+    from deepctr_tpu.features import SparseFeat, DenseFeat, get_feature_names
+    from deepctr_tpu.models import DeepFM
+    cols = ([SparseFeat(f, data[f].max() + 1, 4) for f in sparse]
+            + [DenseFeat(f, 1) for f in dense])
+    names = get_feature_names(cols)
+    model = DeepFM(cols, cols, task="binary", l2_reg_embedding=1e-5,
+                   seed=seed)
+    model.compile("adagrad", "binary_crossentropy",
+                  metrics=["binary_crossentropy"])
+    model.fit({n: train[n] for n in names}, train["label"].values,
+              batch_size=32, epochs=epochs, verbose=0, validation_split=0.2)
+    pred = model.predict({n: test[n] for n in names}, 256)
+    return (log_loss(test["label"].values, pred),
+            roc_auc_score(test["label"].values, pred))
+
+
+def run_reference(data, train, test, sparse, dense, epochs, seed):
+    sys.path.insert(0, "/root/reference")
+    from deepctr_torch.inputs import (SparseFeat, DenseFeat,
+                                      get_feature_names)
+    from deepctr_torch.models import DeepFM
+    cols = ([SparseFeat(f, data[f].max() + 1, 4) for f in sparse]
+            + [DenseFeat(f, 1) for f in dense])
+    names = get_feature_names(cols)
+    model = DeepFM(cols, cols, task="binary", l2_reg_embedding=1e-5,
+                   seed=seed, device="cpu")
+    model.compile("adagrad", "binary_crossentropy",
+                  metrics=["binary_crossentropy"])
+    model.fit({n: train[n] for n in names}, train["label"].values,
+              batch_size=32, epochs=epochs, verbose=0, validation_split=0.2)
+    pred = model.predict({n: test[n] for n in names}, 256)
+    return (log_loss(test["label"].values, pred),
+            roc_auc_score(test["label"].values, pred))
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    data, train, test, sparse, dense = prepare()
+    for seed in (1024, 7, 2020):
+        ours = run_ours(data, train, test, sparse, dense, epochs, seed)
+        ref = run_reference(data, train, test, sparse, dense, epochs, seed)
+        print("seed %4d | ours  logloss %.4f auc %.4f | reference "
+              "logloss %.4f auc %.4f"
+              % (seed, ours[0], ours[1], ref[0], ref[1]))
