@@ -126,7 +126,18 @@ def bench_reference():
 
 
 def main():
-    from deepctr_tpu.models import DeepFM
+    from deepctr_tpu.models import DeepFM, xDeepFM
+    which = os.environ.get("BENCH_MODEL", "deepfm")
+    if which == "xdeepfm":
+        eps = bench_model(xDeepFM, dnn_hidden_units=(400, 400),
+                          cin_layer_size=(256, 128))
+        print(json.dumps({
+            "metric": "xdeepfm_criteo_train_throughput",
+            "value": round(eps, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(eps / FALLBACK_REFERENCE_EPS, 2),
+        }))
+        return
     eps = bench_model(DeepFM, dnn_hidden_units=HIDDEN)
     ref_eps = FALLBACK_REFERENCE_EPS
     if os.environ.get("BENCH_RUN_REFERENCE") == "1":

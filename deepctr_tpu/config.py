@@ -42,3 +42,10 @@ def use_pallas():
         except Exception:
             return False
     return _USE_PALLAS
+
+
+def use_pallas_explicit():
+    """True only when the user explicitly enabled Pallas (not 'auto') —
+    used by ops whose kernels win isolated but lose inside the fused
+    train step (see ops/dispatch.py)."""
+    return _USE_PALLAS is True

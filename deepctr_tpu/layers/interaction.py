@@ -130,29 +130,33 @@ class CIN(nn.Module):
         if len(self.layer_size) == 0:
             raise ValueError("layer_size must be a list(tuple) of length "
                              "greater than 1")
-        from ..ops import cin_layer
+        from ..ops import cin_mix
         dtype = config.compute_dtype()
-        field_nums = [self.field_size]
-        hidden = inputs
+        F = self.field_size
+        field_nums = [F]
+        # D-major layout throughout: feature-map axis last so the fused
+        # kernel contracts over H*F with MXU-friendly tiling
+        x0_t = jnp.transpose(inputs, (0, 2, 1)).astype(dtype)   # [B, E, F]
+        hidden = x0_t
         finals = []
         act = activation_layer(self.activation)
         for i, size in enumerate(self.layer_size):
-            in_ch = field_nums[-1] * field_nums[0]
+            in_ch = field_nums[-1] * F
             # torch Conv1d default init: kaiming-uniform(a=sqrt(5)) ~= U(+-1/sqrt(in))
             init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in",
                                                     "uniform")
             w = self.param("conv_w_%d" % i, init, (size, in_ch))
             b = self.param("conv_b_%d" % i, nn.initializers.zeros, (size,))
-            x = cin_layer(hidden.astype(dtype), inputs.astype(dtype),
-                          w.astype(dtype), b.astype(dtype))
-            curr_out = act(x)
+            w3 = w.astype(dtype).reshape(size, field_nums[-1], F)
+            x = cin_mix(hidden, x0_t, w3) + b.astype(dtype)[None, None, :]
+            curr_out = act(x)                                   # [B, E, size]
             if self.split_half:
                 if i != len(self.layer_size) - 1:
                     if size % 2 > 0:
                         raise ValueError(
                             "layer_size must be even number except for the "
                             "last layer when split_half=True")
-                    next_hidden, direct = jnp.split(curr_out, 2, axis=1)
+                    next_hidden, direct = jnp.split(curr_out, 2, axis=-1)
                     field_nums.append(size // 2)
                 else:
                     direct = curr_out
@@ -163,8 +167,8 @@ class CIN(nn.Module):
                 field_nums.append(size)
             finals.append(direct)
             hidden = next_hidden
-        result = jnp.concatenate(finals, axis=1)
-        return jnp.sum(result, axis=-1)  # [B, featuremap_num]
+        result = jnp.concatenate(finals, axis=-1)   # [B, E, total_maps]
+        return jnp.sum(result, axis=1)              # [B, featuremap_num]
 
 
 class AFMLayer(nn.Module):

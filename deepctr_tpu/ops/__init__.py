@@ -6,6 +6,7 @@ Dispatch is controlled by ``deepctr_tpu.config.set_use_pallas`` and defaults
 to Pallas on TPU, jnp elsewhere.
 """
 
-from .reference import (fm_cross_ref, cin_layer_ref, cross_net_ref,
-                        din_attention_ref)
-from .dispatch import fm_cross, cin_layer, cross_net, din_attention
+from .reference import (fm_cross_ref, cin_layer_ref, cin_mix_ref,
+                        cross_net_ref, din_attention_ref)
+from .dispatch import (fm_cross, cin_layer, cin_mix, cross_net,
+                       din_attention)

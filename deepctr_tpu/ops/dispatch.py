@@ -22,10 +22,20 @@ def fm_cross(inputs):
 
 
 def cin_layer(hidden, x0, w, b):
-    p = _pallas()
-    if p is not None and p.cin_layer_supported(hidden, x0, w):
-        return p.cin_layer(hidden, x0, w, b)
     return _ref.cin_layer_ref(hidden, x0, w, b)
+
+
+def cin_mix(hidden_t, x0_t, w3):
+    """Pallas CIN is opt-in (``set_use_pallas(True)``), not 'auto': the
+    kernel wins the isolated forward at lane-aligned shapes (1.8x at
+    H=128) but measured slower inside the full jitted train step (custom
+    VJP fusion barrier + layout conversions at the kernel boundary), so
+    the XLA einsum path is the training default."""
+    if config.use_pallas_explicit():
+        p = _pallas()
+        if p is not None and p.cin_mix_supported(hidden_t, x0_t, w3):
+            return p.cin_mix(hidden_t, x0_t, w3)
+    return _ref.cin_mix_ref(hidden_t, x0_t, w3)
 
 
 def cross_net(x, kernels, bias, parameterization="vector"):

@@ -33,6 +33,14 @@ def cin_layer_ref(hidden, x0, w, b):
     return jnp.einsum("oc,bcd->bod", w, z) + b[None, :, None]
 
 
+def cin_mix_ref(hidden_t, x0_t, w3):
+    """D-major CIN layer: hidden_t [B,D,H], x0_t [B,D,F], w3 [O,H,F]
+    -> [B,D,O].  Same math as :func:`cin_layer_ref` with the emb axis
+    leading (out[b,d,o] = sum_{h,f} w3[o,h,f] h[b,d,h] x[b,d,f])."""
+    z = jnp.einsum("bdh,bdf->bdhf", hidden_t, x0_t)
+    return jnp.einsum("bdhf,ohf->bdo", z, w3)
+
+
 def cross_net_ref(x, kernels, bias, parameterization="vector"):
     """DCN cross stack: x [B,n]; kernels [L,n,1] or [L,n,n]; bias [L,n,1].
 
