@@ -27,6 +27,10 @@ class SparseFeat(namedtuple("SparseFeat",
     ``embedding_name`` share one embedding table (used by e.g. DIN where
     ``item_id`` and ``hist_item_id`` share a table).
     ``embedding_dim="auto"`` resolves to ``6 * vocab**0.25``.
+    ``use_hash=True`` hashes raw values (strings or ints) onto
+    ``[0, vocabulary_size)`` on the host at batch-assembly time (native
+    FNV-1a, deepctr_tpu/native) — the reference declares this flag but
+    does not support it (deepctr_torch/inputs.py:31-33).
     (reference parity: deepctr_torch/inputs.py:20-38)
     """
     __slots__ = ()
@@ -38,9 +42,6 @@ class SparseFeat(namedtuple("SparseFeat",
             embedding_name = name
         if embedding_dim == "auto":
             embedding_dim = 6 * int(pow(vocabulary_size, 0.25))
-        if use_hash:
-            print("Notice! Feature hashing on the fly is not supported; "
-                  "pre-hash ids on the host side.")
         return super(SparseFeat, cls).__new__(
             cls, name, vocabulary_size, embedding_dim, use_hash, dtype,
             embedding_name, group_name)

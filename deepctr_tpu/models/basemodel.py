@@ -31,7 +31,8 @@ except ImportError:  # pragma: no cover
     tqdm = None
 
 from ..callbacks import CallbackList, History
-from ..features import build_input_features
+from ..features import (SparseFeat, VarLenSparseFeat, build_input_features)
+from .. import native
 from ..inputs import compute_input_dim, embedding_size_of
 from ..layers.utils import slice_arrays
 from ..losses import resolve_loss
@@ -73,6 +74,12 @@ class BaseModel(object):
         self.dnn_feature_columns = list(dnn_feature_columns)
         self.feature_index = build_input_features(
             self.linear_feature_columns + self.dnn_feature_columns)
+        # features declaring on-the-fly hashing (native FNV-1a; a
+        # capability the reference declares but stubs, inputs.py:31-33)
+        self._hash_feats = {
+            f.name: f
+            for f in self.linear_feature_columns + self.dnn_feature_columns
+            if isinstance(f, (SparseFeat, VarLenSparseFeat)) and f.use_hash}
         self.input_dim = (max(e for _, e in self.feature_index.values())
                           if self.feature_index else 0)
         self.module = module
@@ -254,18 +261,45 @@ class BaseModel(object):
     # data plumbing
     # ------------------------------------------------------------------
     def _assemble_x(self, x):
-        """dict/list of arrays -> one [N, input_dim] float32 matrix."""
+        """dict/list of arrays -> one [N, input_dim] float32 matrix.
+
+        Column-concat runs through the native batcher when built
+        (deepctr_tpu/native); features with ``use_hash`` are hashed onto
+        [0, vocabulary_size) here on the host (strings or ints)."""
         if isinstance(x, dict):
             x = [x[feature] for feature in self.feature_index]
         if isinstance(x, np.ndarray):
             x = [x]
-        x = [np.asarray(a) for a in x]
-        x = [np.expand_dims(a, 1) if a.ndim == 1 else a for a in x]
-        X = np.concatenate(x, axis=-1).astype(np.float32)
+        arrays = []
+        for name, a in zip(self.feature_index, x):
+            a = np.asarray(a)
+            if a.ndim == 1:
+                a = a[:, None]
+            feat = self._hash_feats.get(name)
+            if feat is not None:
+                a = self._hash_feature(feat, a)
+            arrays.append(np.asarray(a, dtype=np.float32))
+        X = native.assemble(arrays)
         if X.shape[1] != self.input_dim:
             raise ValueError("input width %d != expected %d"
                              % (X.shape[1], self.input_dim))
         return X
+
+    @staticmethod
+    def _hash_feature(feat, a):
+        if np.issubdtype(a.dtype, np.floating):
+            a = a.astype(np.int64)
+        if np.issubdtype(a.dtype, np.integer):
+            ids = native.hash_to_bucket(a, feat.vocabulary_size)
+            # id 0 is the padding/mask value for sequence features
+            if isinstance(feat, VarLenSparseFeat):
+                ids = np.where(a == 0, 0, ids)
+            return ids
+        ids = native.hash_to_bucket(a, feat.vocabulary_size)
+        if isinstance(feat, VarLenSparseFeat):
+            empty = np.vectorize(lambda v: len(str(v)) == 0)(a)
+            ids = np.where(empty, 0, ids)
+        return ids
 
     # ------------------------------------------------------------------
     # fit / evaluate / predict
