@@ -10,10 +10,13 @@ Reference capability surface: /root/reference/deepctr_torch (v0.2.9).
 """
 
 from . import config
-from .config import set_compute_dtype, compute_dtype
+from .config import set_compute_dtype, compute_dtype, set_use_pallas
 from .features import (SparseFeat, DenseFeat, VarLenSparseFeat,
                        build_input_features, get_feature_names,
                        DEFAULT_GROUP_NAME)
+from .callbacks import History, EarlyStopping, ModelCheckpoint
 from .utils.serialization import load_model, save_model
+from . import layers
+from . import models
 
 __version__ = "0.1.0"
