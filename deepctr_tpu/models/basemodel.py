@@ -306,10 +306,29 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     def fit(self, x=None, y=None, batch_size=None, epochs=1, verbose=1,
             initial_epoch=0, validation_split=0., validation_data=None,
-            shuffle=True, callbacks=None):
+            shuffle=True, callbacks=None, profile=None):
         """Keras-style training loop; returns a History object.
         (reference parity: basemodel.py:137-309)
+
+        ``profile`` (TPU addition): a directory path — captures a
+        jax.profiler trace of the training loop for analysis in
+        TensorBoard/XProf.
         """
+        if profile:
+            jax.profiler.start_trace(profile)
+        try:
+            return self._fit(x, y, batch_size, epochs, verbose,
+                             initial_epoch, validation_split,
+                             validation_data, shuffle, callbacks)
+        finally:
+            if profile:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+
+    def _fit(self, x, y, batch_size, epochs, verbose, initial_epoch,
+             validation_split, validation_data, shuffle, callbacks):
         if isinstance(x, dict):
             x = [x[feature] for feature in self.feature_index]
         if isinstance(x, np.ndarray):
@@ -516,6 +535,14 @@ class BaseModel(object):
 
     def save(self, path):
         serialization.save_model(self, path)
+
+    def save_checkpoint(self, directory, include_optimizer=True):
+        """Orbax train-state checkpoint (params + optimizer state) for
+        exact resume — the reference never checkpoints optimizer state."""
+        serialization.save_checkpoint(self, directory, include_optimizer)
+
+    def load_checkpoint(self, directory):
+        return serialization.load_checkpoint(self, directory)
 
     # ------------------------------------------------------------------
     # misc parity helpers

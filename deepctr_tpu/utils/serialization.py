@@ -7,9 +7,11 @@ class and constructor kwargs so ``load_model`` can rebuild the module graph.
 exercised by every reference model test — tests/utils.py:162-170)
 """
 
+import os
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -45,4 +47,41 @@ def load_model(path):
         payload = pickle.load(f)
     model = payload["model_class"](**payload["init_kwargs"])
     model.set_weights(payload["weights"])
+    return model
+
+
+# ---------------------------------------------------------------------------
+# Orbax train-state checkpointing (params + optimizer state + batch stats).
+# The reference's ModelCheckpoint only saves model weights
+# (deepctr_torch/callbacks.py:41-73, "No optimizer-state checkpointing" —
+# SURVEY.md §5.4); this gives exact training resume.
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(model, directory, include_optimizer=True):
+    """Write a train-state checkpoint under ``directory`` (Orbax pytree)."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    state = {"params": tree_to_numpy(model.params),
+             "batch_stats": tree_to_numpy(model.batch_stats)}
+    if include_optimizer and getattr(model, "optim", None) is not None:
+        state["opt_state"] = tree_to_numpy(
+            jax.tree_util.tree_map(np.asarray, model.opt_state))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(directory, state, force=True)
+
+
+def load_checkpoint(model, directory):
+    """Restore params/batch_stats (and optimizer state if present)."""
+    import orbax.checkpoint as ocp
+    directory = os.path.abspath(directory)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(directory)
+    model.set_weights({"params": state["params"],
+                       "batch_stats": state.get("batch_stats", {})})
+    if "opt_state" in state and getattr(model, "optim", None) is not None:
+        ref = model.opt_state
+        flat_ref, treedef = jax.tree_util.tree_flatten(ref)
+        flat_new = jax.tree_util.tree_leaves(state["opt_state"])
+        model.opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(n) for n in flat_new])
     return model
