@@ -26,27 +26,47 @@ class EmbeddingDict(nn.Module):
     ``embedding_name`` (shared tables).  ``linear=True`` builds dim-1 tables
     for the wide/linear part.
     (reference parity: deepctr_torch/inputs.py:158-180)
+
+    TPU addition: tables named in ``wide_names`` carry ONE extra trailing
+    column holding the wide/linear weight for that feature.  The deep path
+    reads ``rows[..., :dim]`` and the wide path ``rows[..., dim:]`` of the
+    *same* gather, so XLA CSE collapses the two lookups (and their backward
+    scatters) into one — this removes the separate width-1 linear tables,
+    whose single-lane gathers are pathologically slow on TPU.
     """
     feature_columns: tuple
     init_std: float = 1e-4
     linear: bool = False
+    wide_names: tuple = ()
 
     def setup(self):
         tables = {}
+        dims = {}
         for feat in self.feature_columns:
             if isinstance(feat, (SparseFeat, VarLenSparseFeat)):
                 name = feat.embedding_name
                 if name in tables:
                     continue
                 dim = 1 if self.linear else feat.embedding_dim
+                width = dim + 1 if name in self.wide_names else dim
                 tables[name] = self.param(
                     name, nn.initializers.normal(self.init_std),
-                    (feat.vocabulary_size, dim))
+                    (feat.vocabulary_size, width))
+                dims[name] = dim
         self.tables = tables
+        self.table_dims = dims
 
     def __call__(self, name, ids):
-        """Gather rows: ids int [..., ] -> [..., dim]."""
-        return jnp.take(self.tables[name], ids, axis=0)
+        """Gather rows: ids int [..., ] -> [..., dim] (deep columns)."""
+        rows = jnp.take(self.tables[name], ids, axis=0)
+        if name in self.wide_names:
+            rows = rows[..., :self.table_dims[name]]
+        return rows
+
+    def wide(self, name, ids):
+        """The fused wide column: ids int [...] -> [..., 1]."""
+        rows = jnp.take(self.tables[name], ids, axis=0)
+        return rows[..., self.table_dims[name]:]
 
 
 def sparse_ids(X, span):

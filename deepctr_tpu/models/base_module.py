@@ -11,20 +11,44 @@ import jax.numpy as jnp
 
 from ..features import (SparseFeat, DenseFeat, VarLenSparseFeat,
                         build_input_features)
-from ..inputs import (EmbeddingDict, embedding_lookup,
+from ..inputs import (EmbeddingDict, embedding_lookup, sparse_ids,
                       varlen_embedding_lookup, get_varlen_pooling_list,
                       get_dense_input, compute_input_dim)
 from ..layers.core import PredictionLayer
+
+
+def fused_wide_names(linear_feature_columns, dnn_feature_columns):
+    """Tables whose wide weight can ride as an extra column of the deep
+    table: every embedding_name used by the linear columns that a deep
+    column also declares with the same vocabulary."""
+    deep = {f.embedding_name: f.vocabulary_size
+            for f in dnn_feature_columns
+            if isinstance(f, (SparseFeat, VarLenSparseFeat))}
+    fused = []
+    for f in linear_feature_columns:
+        if not isinstance(f, (SparseFeat, VarLenSparseFeat)):
+            continue
+        if deep.get(f.embedding_name) == f.vocabulary_size:
+            if f.embedding_name not in fused:
+                fused.append(f.embedding_name)
+    return tuple(fused)
 
 
 class LinearModel(nn.Module):
     """Wide part: dim-1 embeddings for sparse feats, a weight vector for
     dense feats, masked-pooled dim-1 embeddings for varlen feats.  Supports
     the IFM/DIFM ``sparse_feat_refine_weight`` rescaling hook.
+
+    Features whose table name appears in ``fused_names`` read their wide
+    weight from the extra column of the shared deep table
+    (``shared_embedding_dict.wide``) instead of a separate width-1 table —
+    XLA CSE then merges the wide lookup with the deep lookup.
     """
     feature_columns: tuple
     feature_index: tuple   # tuple of (name, (start, end)) — hashable static
     init_std: float = 1e-4
+    shared_embedding_dict: nn.Module = None
+    fused_names: tuple = ()
 
     def setup(self):
         cols = self.feature_columns
@@ -34,20 +58,31 @@ class LinearModel(nn.Module):
             f for f in cols if isinstance(f, DenseFeat))
         self.varlen_sparse_feature_columns = tuple(
             f for f in cols if isinstance(f, VarLenSparseFeat))
-        self.embedding_dict = EmbeddingDict(cols, self.init_std, linear=True)
+        own_cols = tuple(
+            f for f in cols
+            if not (isinstance(f, (SparseFeat, VarLenSparseFeat))
+                    and f.embedding_name in self.fused_names))
+        self.embedding_dict = EmbeddingDict(own_cols, self.init_std,
+                                            linear=True)
         dense_dim = sum(f.dimension for f in self.dense_feature_columns)
         if dense_dim > 0:
             self.weight = self.param(
                 "weight", nn.initializers.normal(self.init_std),
                 (dense_dim, 1))
 
+    def _lookup(self, fc, ids):
+        if fc.embedding_name in self.fused_names:
+            return self.shared_embedding_dict.wide(fc.embedding_name, ids)
+        return self.embedding_dict(fc.embedding_name, ids)
+
     def __call__(self, X, sparse_feat_refine_weight=None):
         index = dict(self.feature_index)
-        sparse_embedding_list = embedding_lookup(
-            X, self.embedding_dict, index, self.sparse_feature_columns,
-            to_list=True)
-        seq_embed_dict = varlen_embedding_lookup(
-            X, self.embedding_dict, index, self.varlen_sparse_feature_columns)
+        sparse_embedding_list = [
+            self._lookup(fc, sparse_ids(X, index[fc.name]))
+            for fc in self.sparse_feature_columns]
+        seq_embed_dict = {
+            fc.name: self._lookup(fc, sparse_ids(X, index[fc.name]))
+            for fc in self.varlen_sparse_feature_columns}
         sparse_embedding_list += get_varlen_pooling_list(
             seq_embed_dict, X, index, self.varlen_sparse_feature_columns)
         dense_value_list = get_dense_input(X, index,
@@ -80,11 +115,15 @@ class BaseModule(nn.Module):
         index = build_input_features(
             list(self.linear_feature_columns) + list(self.dnn_feature_columns))
         self.feature_index = index
+        fused = fused_wide_names(self.linear_feature_columns,
+                                 self.dnn_feature_columns)
         self.embedding_dict = EmbeddingDict(tuple(self.dnn_feature_columns),
-                                            self.init_std)
+                                            self.init_std,
+                                            wide_names=fused)
         self.linear_model = LinearModel(
             tuple(self.linear_feature_columns),
-            tuple((k, v) for k, v in index.items()), self.init_std)
+            tuple((k, v) for k, v in index.items()), self.init_std,
+            shared_embedding_dict=self.embedding_dict, fused_names=fused)
         self.out = PredictionLayer(self.task)
         self.setup_model()
 

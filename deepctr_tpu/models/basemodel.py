@@ -95,9 +95,27 @@ class BaseModel(object):
         self.aux_loss_alpha = 0.0
         self._init_kwargs = getattr(self, "_init_kwargs", {})
 
-        # per-group regularization rules: (path_regex, l1, l2)
+        # tables carrying a fused wide column (see EmbeddingDict.wide):
+        # {param_path: deep_dim} — reg splits those params column-wise so
+        # the wide column gets l2_reg_linear, the deep columns
+        # l2_reg_embedding, exactly like separate tables would
+        from .base_module import fused_wide_names
+        dnn_dims = {f.embedding_name: f.embedding_dim
+                    for f in self.dnn_feature_columns
+                    if hasattr(f, "embedding_name")}
+        self._wide_cols = {
+            "embedding_dict/%s" % name: dnn_dims[name]
+            for name in fused_wide_names(self.linear_feature_columns,
+                                         self.dnn_feature_columns)}
+
+        # per-group regularization rules: (path_regex, l1, l2, part)
+        # part: None = whole param; "deep"/"wide" = column split for params
+        # listed in self._wide_cols
         self.regularization_rules = []
-        self.add_regularization_rule(r"^embedding_dict/", l2=l2_reg_embedding)
+        self.add_regularization_rule(r"^embedding_dict/",
+                                     l2=l2_reg_embedding, part="deep")
+        self.add_regularization_rule(r"^embedding_dict/",
+                                     l2=l2_reg_linear, part="wide")
         self.add_regularization_rule(r"^linear_model/", l2=l2_reg_linear)
 
         # --- init parameters ---
@@ -118,31 +136,40 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     # regularization / aux loss
     # ------------------------------------------------------------------
-    def add_regularization_rule(self, pattern, l1=0.0, l2=0.0):
+    def add_regularization_rule(self, pattern, l1=0.0, l2=0.0, part=None):
         """Register explicit L1/L2 on every param whose '/'-joined path
         matches ``pattern``.  TPU-native replacement for the reference's
         ``add_regularization_weight`` over live parameter lists
         (basemodel.py:402-428)."""
         if l1 > 0 or l2 > 0:
-            self.regularization_rules.append((pattern, float(l1), float(l2)))
+            self.regularization_rules.append(
+                (pattern, float(l1), float(l2), part))
 
     # API-parity alias (patterns instead of parameter lists)
     add_regularization_weight = add_regularization_rule
 
     def _build_reg_fn(self):
         flat = _flatten_with_paths(self.params)
+        wide_cols = self._wide_cols
         groups = []
-        for pattern, l1, l2 in self.regularization_rules:
+        for pattern, l1, l2, part in self.regularization_rules:
             rx = re.compile(pattern)
             paths = [p for p, _ in flat if rx.search(p)]
+            if part == "wide":
+                paths = [p for p in paths if p in wide_cols]
             if paths:
-                groups.append((tuple(paths), l1, l2))
+                groups.append((tuple(paths), l1, l2, part))
 
         def reg_fn(params):
             total = jnp.zeros((), jnp.float32)
-            for paths, l1, l2 in groups:
+            for paths, l1, l2, part in groups:
                 for p in paths:
                     w = _get_path(params, p)
+                    dim = wide_cols.get(p)
+                    if dim is not None and part == "deep":
+                        w = w[:, :dim]
+                    elif dim is not None and part == "wide":
+                        w = w[:, dim:]
                     if l1 > 0:
                         total = total + jnp.sum(l1 * jnp.abs(w))
                     if l2 > 0:

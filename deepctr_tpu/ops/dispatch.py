@@ -15,9 +15,9 @@ def _pallas():
 
 
 def fm_cross(inputs):
-    p = _pallas()
-    if p is not None and p.fm_cross_supported(inputs):
-        return p.fm_cross(inputs)
+    # no Pallas kernel: the FM reduction is far below the HBM roofline
+    # already (tools/speed_of_light.py reports it under the measurement
+    # floor) — XLA's fusion is the right tool here
     return _ref.fm_cross_ref(inputs)
 
 

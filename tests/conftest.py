@@ -20,3 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
+import zlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy(request):
+    """Deterministic per-test RNG: synthetic fixtures draw random vocab
+    sizes/maxlens, so unseeded state makes failures depend on suite
+    order.  Seed from the test id instead."""
+    np.random.seed(zlib.crc32(request.node.nodeid.encode()) & 0x7FFFFFFF)
