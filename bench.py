@@ -28,7 +28,7 @@ import numpy as np
 # Criteo layout: 26 categorical + 13 dense (run_classification_criteo.py).
 N_SPARSE = 26
 N_DENSE = 13
-VOCAB = 10000
+VOCAB = int(os.environ.get("BENCH_VOCAB", 10000))
 EMB_DIM = 16
 BATCH = 4096
 STEPS = 50
@@ -67,21 +67,24 @@ def bench_model(model_cls, **kwargs):
     dc_config.set_compute_dtype("bfloat16")
     cols = _columns()
     model = model_cls(cols, cols, **kwargs)
-    model.compile("adagrad", "binary_crossentropy", metrics=[])
+    sparse = {"0": False, "1": True}.get(
+        os.environ.get("BENCH_SPARSE", ""), "auto")
+    model.compile("adagrad", "binary_crossentropy", metrics=[],
+                  sparse_table_updates=sparse)
     model._ensure_compiled()
     step = model._train_step.__wrapped__  # un-jitted step fn
     key = jax.random.PRNGKey(0)
     X, y, sw = _device_batch(key, model.input_dim, model.feature_index)
 
     @jax.jit
-    def run(params, opt_state, batch_stats, n):
+    def run(params, opt_state, table_state, batch_stats, n):
         def body(i, carry):
-            p, o, bs = carry
+            p, o, ts, bs = carry
             rng = jax.random.fold_in(key, i)
-            p, o, bs, _, total, _ = step(p, o, bs, rng, X, y, sw)
-            return (p, o, bs)
-        p, o, bs = jax.lax.fori_loop(0, n, body,
-                                     (params, opt_state, batch_stats))
+            p, o, ts, bs, _, total, _ = step(p, o, ts, bs, rng, X, y, sw)
+            return (p, o, ts, bs)
+        p, o, ts, bs = jax.lax.fori_loop(
+            0, n, body, (params, opt_state, table_state, batch_stats))
         probe = jax.tree_util.tree_leaves(p)[0]
         return jnp.sum(probe.reshape(-1)[:4].astype(jnp.float32))
 
@@ -89,11 +92,13 @@ def bench_model(model_cls, **kwargs):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            run(model.params, model.opt_state, model.batch_stats, n).item()
+            run(model.params, model.opt_state, model.table_state,
+                model.batch_stats, n).item()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    run(model.params, model.opt_state, model.batch_stats, 1).item()  # warm
+    run(model.params, model.opt_state, model.table_state,
+        model.batch_stats, 1).item()  # warm
     t1 = timed(1)
     tn = timed(STEPS + 1)
     dt = (tn - t1) / STEPS

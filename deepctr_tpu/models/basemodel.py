@@ -151,6 +151,11 @@ class BaseModel(object):
     def _build_reg_fn(self):
         flat = _flatten_with_paths(self.params)
         wide_cols = self._wide_cols
+        # tables on the sparse-update path: keep their reg term in the
+        # LOSS VALUE but stop its gradient — the regularization gradient
+        # is applied lazily to touched rows in the table update instead
+        # (a dense reg grad would defeat the sparse update entirely)
+        sparse_paths = {p for p, _, _ in getattr(self, "_sparse_specs", [])}
         groups = []
         for pattern, l1, l2, part in self.regularization_rules:
             rx = re.compile(pattern)
@@ -165,6 +170,8 @@ class BaseModel(object):
             for paths, l1, l2, part in groups:
                 for p in paths:
                     w = _get_path(params, p)
+                    if p in sparse_paths:
+                        w = jax.lax.stop_gradient(w)
                     dim = wide_cols.get(p)
                     if dim is not None and part == "deep":
                         w = w[:, :dim]
@@ -180,20 +187,149 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     # compile
     # ------------------------------------------------------------------
-    def compile(self, optimizer, loss=None, metrics=None):
+    def compile(self, optimizer, loss=None, metrics=None,
+                sparse_table_updates="auto"):
         """Configure optimizer (name or optax transform), loss (name,
         callable, or per-task list) and metrics (names).
         (reference parity: basemodel.py:433-445)
+
+        ``sparse_table_updates`` (TPU addition): True / False / "auto".
+        When active, embedding tables are updated ONLY on the rows touched
+        by the batch (unique-id scatter), with table L2 applied lazily to
+        touched rows — the production-CTR update rule; dense optimizers
+        pay 3+ full HBM passes over every table per step.  Supported for
+        'sgd' and 'adagrad'; "auto" turns it on when the model holds >=1M
+        table rows (where dense updates dominate the step).
         """
         self.metrics_names = ["loss"]
         self.optim = _get_optimizer(optimizer)
+        self._optimizer_name = optimizer if isinstance(optimizer, str) else None
         self.loss_func = resolve_loss(loss)
         self.metrics = resolve_metrics(metrics)
         for name in self.metrics:
             self.metrics_names.append(name)
-        self.opt_state = self.optim.init(self.params)
+
+        self._sparse_specs = self._resolve_sparse_specs(sparse_table_updates)
+        sparse_paths = {p for p, _, _ in self._sparse_specs}
+        if sparse_paths:
+            mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: _path_str(path) not in sparse_paths,
+                self.params)
+            self._masked_optim = optax.masked(self.optim, mask)
+            self.table_state = {
+                p: self._init_table_state(_get_path(self.params, p))
+                for p in sparse_paths}
+        else:
+            self._masked_optim = self.optim
+            self.table_state = {}
+        self.opt_state = self._masked_optim.init(self.params)
         self._compiled = False
         return self
+
+    # ------------------------------------------------------------------
+    # sparse (touched-rows-only) embedding-table updates
+    # ------------------------------------------------------------------
+    _SPARSE_OPTIMIZERS = ("sgd", "adagrad")
+
+    def _resolve_sparse_specs(self, mode):
+        if mode is False or self._optimizer_name not in self._SPARSE_OPTIMIZERS:
+            return []
+        spans_map = self._table_id_spans()
+        flat = dict(_flatten_with_paths(self.params))
+        spans_map = {p: s for p, s in spans_map.items() if p in flat}
+        total_rows = sum(flat[p].shape[0] for p in spans_map)
+        if mode == "auto" and total_rows < 1_000_000:
+            return []
+        return [(p, tuple(map(tuple, spans)), flat[p].shape[0])
+                for p, spans in sorted(spans_map.items())]
+
+    def _table_id_spans(self):
+        """{table_param_path: [column spans]} — which flat-matrix columns
+        hold ids for each embedding table (fused wide tables collect both
+        the deep and the linear features' spans)."""
+        from .base_module import fused_wide_names
+        fused = set(fused_wide_names(self.linear_feature_columns,
+                                     self.dnn_feature_columns))
+        spans = {}
+
+        def add(f, path):
+            spans.setdefault(path, []).append(self.feature_index[f.name])
+
+        for f in self.dnn_feature_columns:
+            if isinstance(f, (SparseFeat, VarLenSparseFeat)):
+                add(f, "embedding_dict/%s" % f.embedding_name)
+        for f in self.linear_feature_columns:
+            if isinstance(f, (SparseFeat, VarLenSparseFeat)):
+                if f.embedding_name in fused:
+                    add(f, "embedding_dict/%s" % f.embedding_name)
+                else:
+                    add(f, "linear_model/embedding_dict/%s"
+                        % f.embedding_name)
+        # dedup identical spans per table (a feature in both column lists)
+        return {p: sorted(set(map(tuple, s))) for p, s in spans.items()}
+
+    def _init_table_state(self, w):
+        if self._optimizer_name == "adagrad":
+            return jnp.zeros(w.shape, jnp.float32)
+        return ()
+
+    def _table_l2_vec(self, path, w):
+        """Per-column L2 strengths for lazy regularization (wide column
+        carries l2_reg_linear, deep columns l2_reg_embedding)."""
+        l2_map = {}
+        for pattern, l1, l2, part in self.regularization_rules:
+            if re.compile(pattern).search(path):
+                l2_map[part] = l2
+        width = w.shape[1]
+        dim = self._wide_cols.get(path)
+        if dim is not None:
+            vec = np.full((width,), l2_map.get("deep", 0.0), np.float32)
+            vec[dim:] = l2_map.get("wide", 0.0)
+        else:
+            base = l2_map.get("deep", l2_map.get(None, 0.0))
+            vec = np.full((width,), base, np.float32)
+        return jnp.asarray(vec)
+
+    def _make_table_update(self):
+        """-> fn(params, table_state, grads, X) applying touched-rows-only
+        updates; returns (new_params, new_table_state)."""
+        specs = []
+        for path, spans, vocab in self._sparse_specs:
+            w = _get_path(self.params, path)
+            specs.append((path, spans, vocab, self._table_l2_vec(path, w)))
+        opt_name = self._optimizer_name
+        lr = {"sgd": 0.01, "adagrad": 0.01}[opt_name]
+        eps = 1e-10
+
+        def table_update(params, table_state, grads, X):
+            new_state = dict(table_state)
+            for path, spans, vocab, l2_vec in specs:
+                w = _get_path(params, path)
+                g = _get_path(grads, path)
+                ids = jnp.concatenate(
+                    [X[:, s:e].astype(jnp.int32).reshape(-1)
+                     for s, e in spans])
+                # static-size unique; padding slots get id == vocab, which
+                # scatter drops and whose gathered grads are masked to 0
+                uids = jnp.unique(ids, size=ids.shape[0], fill_value=vocab)
+                valid = (uids < vocab)[:, None]
+                safe = jnp.minimum(uids, vocab - 1)
+                g_rows = g[safe] * valid
+                w_rows = w[safe]
+                # lazy L2: regularize only the touched rows
+                g_rows = g_rows + 2.0 * l2_vec[None, :] * w_rows * valid
+                if opt_name == "adagrad":
+                    acc = table_state[path]
+                    acc_rows = acc[safe] + jnp.square(g_rows)
+                    new_state[path] = acc.at[uids].set(acc_rows,
+                                                       mode="drop")
+                    step_rows = lr * g_rows * jax.lax.rsqrt(acc_rows + eps)
+                else:
+                    step_rows = lr * g_rows
+                w = w.at[uids].add(-step_rows, mode="drop")
+                params = _set_path(params, path, w)
+            return params, new_state
+        return table_update
 
     def _make_forward(self):
         module = self.module
@@ -232,11 +368,14 @@ class BaseModel(object):
             return
         if self.optim is None:
             raise RuntimeError("call model.compile(...) before fit()")
-        optim = self.optim
+        optim = self._masked_optim
         loss_func = self.loss_func
         reg_fn = self._build_reg_fn()
         num_tasks = self.num_tasks
         forward = self._make_forward()
+        table_update = (self._make_table_update() if self._sparse_specs
+                        else None)
+        sparse_paths = tuple(p for p, _, _ in self._sparse_specs)
 
         def compute_loss(y_pred, y, sw):
             if isinstance(loss_func, list):
@@ -249,7 +388,8 @@ class BaseModel(object):
                 return loss_func(y_pred, y, sw[:, None])
             return loss_func(y_pred.reshape(-1), y.reshape(-1), sw)
 
-        def train_step(params, opt_state, batch_stats, rng, X, y, sw):
+        def train_step(params, opt_state, table_state, batch_stats, rng, X,
+                       y, sw):
             def loss_fn(p):
                 y_pred, new_stats, aux = forward(p, batch_stats, X, True, rng)
                 data_loss = compute_loss(y_pred.astype(jnp.float32), y, sw)
@@ -258,11 +398,21 @@ class BaseModel(object):
             (total, (new_stats, data_loss, y_pred)), grads = (
                 jax.value_and_grad(loss_fn, has_aux=True)(params))
             updates, new_opt_state = optim.update(grads, opt_state, params)
+            if table_update is not None:
+                # optax.masked passes masked leaves' updates through
+                # UNCHANGED (i.e. the raw gradient) — zero them so only
+                # the sparse table update touches the tables
+                for p in sparse_paths:
+                    updates = _set_path(
+                        updates, p, jnp.zeros_like(_get_path(updates, p)))
             new_params = optax.apply_updates(params, updates)
-            return (new_params, new_opt_state, new_stats, data_loss, total,
-                    y_pred)
+            if table_update is not None:
+                new_params, table_state = table_update(
+                    new_params, table_state, grads, X)
+            return (new_params, new_opt_state, table_state, new_stats,
+                    data_loss, total, y_pred)
 
-        donate = (0, 1, 2)
+        donate = (0, 1, 2, 3)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._ensure_predict_fn()
         self._compiled = True
@@ -272,10 +422,15 @@ class BaseModel(object):
         if self.mesh is None or self._sharding_applied:
             return
         from ..parallel.sharding import (shard_variables, batch_sharding)
-        self.params, self.batch_stats, self.opt_state = shard_variables(
-            self.mesh, self.params, self.batch_stats,
-            getattr(self, "opt_state", None),
+        # table_state arrays mirror table shapes, so they inherit the row
+        # sharding through the same shape-matching placement as opt_state
+        state = {"opt": getattr(self, "opt_state", None),
+                 "tables": getattr(self, "table_state", {})}
+        self.params, self.batch_stats, state = shard_variables(
+            self.mesh, self.params, self.batch_stats, state,
             shard_embeddings=self.shard_embeddings)
+        self.opt_state = state["opt"]
+        self.table_state = state["tables"]
         self._batch_sharding = batch_sharding(self.mesh)
         self._sharding_applied = True
 
@@ -439,10 +594,11 @@ class BaseModel(object):
                     sw[:n_valid] = 1.0
                     rng = jax.random.fold_in(base_rng, global_step)
                     xb, yb, swb = self._put_batch(xb, yb, sw)
-                    (self.params, self.opt_state, self.batch_stats,
-                     data_loss, total_loss, y_pred) = self._train_step(
-                        self.params, self.opt_state, self.batch_stats, rng,
-                        xb, yb, swb)
+                    (self.params, self.opt_state, self.table_state,
+                     self.batch_stats, data_loss, total_loss,
+                     y_pred) = self._train_step(
+                        self.params, self.opt_state, self.table_state,
+                        self.batch_stats, rng, xb, yb, swb)
                     global_step += 1
                     loss_epoch += float(data_loss)
                     total_loss_epoch += float(total_loss)
@@ -542,7 +698,10 @@ class BaseModel(object):
         self.batch_stats = jax.tree_util.tree_map(
             jnp.asarray, weights.get("batch_stats", {}))
         if getattr(self, "optim", None) is not None:
-            self.opt_state = self.optim.init(self.params)
+            self.opt_state = self._masked_optim.init(self.params)
+            self.table_state = {
+                p: self._init_table_state(_get_path(self.params, p))
+                for p, _, _ in self._sparse_specs}
         self._sharding_applied = False
         if self._compiled:
             self._apply_sharding()
@@ -607,3 +766,20 @@ def _get_path(tree, path):
     for k in path.split("/"):
         node = node[k]
     return node
+
+
+def _set_path(tree, path, value):
+    """Return a copy of a nested-dict pytree with ``path`` replaced."""
+    keys = path.split("/")
+    if len(keys) == 1:
+        out = dict(tree)
+        out[keys[0]] = value
+        return out
+    out = dict(tree)
+    out[keys[0]] = _set_path(tree[keys[0]], "/".join(keys[1:]), value)
+    return out
+
+
+def _path_str(key_path):
+    """jax tree_map_with_path key tuple -> 'a/b/c'."""
+    return "/".join(str(getattr(k, "key", k)) for k in key_path)
