@@ -27,12 +27,20 @@ class EmbeddingDict(nn.Module):
     for the wide/linear part.
     (reference parity: deepctr_torch/inputs.py:158-180)
 
-    TPU addition: tables named in ``wide_names`` carry ONE extra trailing
-    column holding the wide/linear weight for that feature.  The deep path
-    reads ``rows[..., :dim]`` and the wide path ``rows[..., dim:]`` of the
-    *same* gather, so XLA CSE collapses the two lookups (and their backward
-    scatters) into one — this removes the separate width-1 linear tables,
-    whose single-lane gathers are pathologically slow on TPU.
+    TPU addition 1 (fused wide column): tables named in ``wide_names``
+    carry ONE extra trailing column holding the wide/linear weight for
+    that feature.  The deep path reads ``rows[..., :dim]`` and the wide
+    path ``rows[..., dim:]`` of the *same* gather, so XLA CSE collapses
+    the two lookups (and their backward scatters) into one — this removes
+    the separate width-1 linear tables, whose single-lane gathers are
+    pathologically slow on TPU.
+
+    TPU addition 2 (packed big tables): XLA's gather collapses on large
+    tables, so tables passing :func:`packed_eligible` are STORED packed
+    ([ceil(vocab/pack), 128], pack = 128 // dim) and looked up through the
+    Pallas row-DMA kernel (ops/pallas_gather.py, measured 5.4x over XLA at
+    vocab 1M).  Off-TPU the packed table is viewed back to [vocab, dim]
+    and gathered normally, so semantics are identical everywhere.
     """
     feature_columns: tuple
     init_std: float = 1e-4
@@ -42,6 +50,8 @@ class EmbeddingDict(nn.Module):
     def setup(self):
         tables = {}
         dims = {}
+        packs = {}
+        vocabs = {}
         for feat in self.feature_columns:
             if isinstance(feat, (SparseFeat, VarLenSparseFeat)):
                 name = feat.embedding_name
@@ -49,24 +59,60 @@ class EmbeddingDict(nn.Module):
                     continue
                 dim = 1 if self.linear else feat.embedding_dim
                 width = dim + 1 if name in self.wide_names else dim
+                vocab = feat.vocabulary_size
+                if packed_eligible(vocab, width):
+                    pack = 128 // width
+                    vpad = (-vocab) % pack
+                    shape = ((vocab + vpad) // pack, 128)
+                    packs[name] = pack
+                else:
+                    shape = (vocab, width)
                 tables[name] = self.param(
-                    name, nn.initializers.normal(self.init_std),
-                    (feat.vocabulary_size, width))
+                    name, nn.initializers.normal(self.init_std), shape)
                 dims[name] = dim
+                vocabs[name] = vocab
         self.tables = tables
         self.table_dims = dims
+        self.table_packs = packs
+        self.table_vocabs = vocabs
+
+    def _rows(self, name, ids):
+        """Gather full-width rows (incl. any wide column)."""
+        table = self.tables[name]
+        pack = self.table_packs.get(name)
+        if pack is None:
+            return jnp.take(table, ids, axis=0)
+        dim = self.table_dims[name]
+        width = dim + 1 if name in self.wide_names else dim
+        from . import config
+        flat = ids.reshape(-1)
+        if config.use_pallas() and flat.shape[0] % 1024 == 0:
+            from .ops.pallas_gather import gather_rows_packed
+            rows = gather_rows_packed(table, flat, width, pack)
+        else:
+            unpacked = table.reshape(-1, width)[:self.table_vocabs[name]]
+            rows = jnp.take(unpacked, flat, axis=0)
+        return rows.reshape(ids.shape + (width,))
 
     def __call__(self, name, ids):
         """Gather rows: ids int [..., ] -> [..., dim] (deep columns)."""
-        rows = jnp.take(self.tables[name], ids, axis=0)
+        rows = self._rows(name, ids)
         if name in self.wide_names:
             rows = rows[..., :self.table_dims[name]]
         return rows
 
     def wide(self, name, ids):
         """The fused wide column: ids int [...] -> [..., 1]."""
-        rows = jnp.take(self.tables[name], ids, axis=0)
+        rows = self._rows(name, ids)
         return rows[..., self.table_dims[name]:]
+
+
+# tables this large use packed storage + the Pallas gather kernel
+PACKED_VOCAB_THRESHOLD = 131072
+
+
+def packed_eligible(vocab, width):
+    return vocab >= PACKED_VOCAB_THRESHOLD and 128 % width == 0
 
 
 def sparse_ids(X, span):

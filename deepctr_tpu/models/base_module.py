@@ -20,17 +20,25 @@ from ..layers.core import PredictionLayer
 def fused_wide_names(linear_feature_columns, dnn_feature_columns):
     """Tables whose wide weight can ride as an extra column of the deep
     table: every embedding_name used by the linear columns that a deep
-    column also declares with the same vocabulary."""
-    deep = {f.embedding_name: f.vocabulary_size
+    column also declares with the same vocabulary.  Tables large enough
+    for packed storage are excluded — packing requires the deep width to
+    divide 128, and the packed Pallas gather also fixes the width-1
+    linear-table pathology the fusion exists to avoid."""
+    from ..inputs import packed_eligible
+    deep = {f.embedding_name: (f.vocabulary_size, f.embedding_dim)
             for f in dnn_feature_columns
             if isinstance(f, (SparseFeat, VarLenSparseFeat))}
     fused = []
     for f in linear_feature_columns:
         if not isinstance(f, (SparseFeat, VarLenSparseFeat)):
             continue
-        if deep.get(f.embedding_name) == f.vocabulary_size:
-            if f.embedding_name not in fused:
-                fused.append(f.embedding_name)
+        entry = deep.get(f.embedding_name)
+        if entry is None or entry[0] != f.vocabulary_size:
+            continue
+        if packed_eligible(entry[0], entry[1]):
+            continue
+        if f.embedding_name not in fused:
+            fused.append(f.embedding_name)
     return tuple(fused)
 
 

@@ -155,7 +155,7 @@ class BaseModel(object):
         # LOSS VALUE but stop its gradient — the regularization gradient
         # is applied lazily to touched rows in the table update instead
         # (a dense reg grad would defeat the sparse update entirely)
-        sparse_paths = {p for p, _, _ in getattr(self, "_sparse_specs", [])}
+        sparse_paths = {s[0] for s in getattr(self, "_sparse_specs", [])}
         groups = []
         for pattern, l1, l2, part in self.regularization_rules:
             rx = re.compile(pattern)
@@ -210,7 +210,7 @@ class BaseModel(object):
             self.metrics_names.append(name)
 
         self._sparse_specs = self._resolve_sparse_specs(sparse_table_updates)
-        sparse_paths = {p for p, _, _ in self._sparse_specs}
+        sparse_paths = {p for p, _, _, _ in self._sparse_specs}
         if sparse_paths:
             mask = jax.tree_util.tree_map_with_path(
                 lambda path, _: _path_str(path) not in sparse_paths,
@@ -236,12 +236,37 @@ class BaseModel(object):
             return []
         spans_map = self._table_id_spans()
         flat = dict(_flatten_with_paths(self.params))
-        spans_map = {p: s for p, s in spans_map.items() if p in flat}
+        vocabs = self._table_vocabs()
+        spans_map = {p: s for p, s in spans_map.items()
+                     if p in flat and p in vocabs}
         total_rows = sum(flat[p].shape[0] for p in spans_map)
         if mode == "auto" and total_rows < 1_000_000:
             return []
-        return [(p, tuple(map(tuple, spans)), flat[p].shape[0])
-                for p, spans in sorted(spans_map.items())]
+        # packed tables (param rows != vocab) are updated by PACKED row
+        # index: ids map to rows via // pack
+        specs = []
+        for p, spans in sorted(spans_map.items()):
+            n_rows = flat[p].shape[0]
+            pack = max(1, int(round(vocabs[p] / n_rows)))
+            specs.append((p, tuple(map(tuple, spans)), n_rows, pack))
+        return specs
+
+    def _table_vocabs(self):
+        """{table_param_path: vocabulary_size} over both column lists."""
+        from .base_module import fused_wide_names
+        fused = set(fused_wide_names(self.linear_feature_columns,
+                                     self.dnn_feature_columns))
+        out = {}
+        for f in self.dnn_feature_columns:
+            if isinstance(f, (SparseFeat, VarLenSparseFeat)):
+                out["embedding_dict/%s" % f.embedding_name] = \
+                    f.vocabulary_size
+        for f in self.linear_feature_columns:
+            if isinstance(f, (SparseFeat, VarLenSparseFeat)):
+                if f.embedding_name not in fused:
+                    out["linear_model/embedding_dict/%s"
+                        % f.embedding_name] = f.vocabulary_size
+        return out
 
     def _table_id_spans(self):
         """{table_param_path: [column spans]} — which flat-matrix columns
@@ -294,21 +319,25 @@ class BaseModel(object):
         """-> fn(params, table_state, grads, X) applying touched-rows-only
         updates; returns (new_params, new_table_state)."""
         specs = []
-        for path, spans, vocab in self._sparse_specs:
+        for path, spans, n_rows, pack in self._sparse_specs:
             w = _get_path(self.params, path)
-            specs.append((path, spans, vocab, self._table_l2_vec(path, w)))
+            specs.append((path, spans, n_rows, pack,
+                          self._table_l2_vec(path, w)))
         opt_name = self._optimizer_name
         lr = {"sgd": 0.01, "adagrad": 0.01}[opt_name]
         eps = 1e-10
 
         def table_update(params, table_state, grads, X):
             new_state = dict(table_state)
-            for path, spans, vocab, l2_vec in specs:
+            for path, spans, n_rows, pack, l2_vec in specs:
                 w = _get_path(params, path)
                 g = _get_path(grads, path)
                 ids = jnp.concatenate(
                     [X[:, s:e].astype(jnp.int32).reshape(-1)
                      for s, e in spans])
+                if pack > 1:   # packed table: update by packed row index
+                    ids = ids // pack
+                vocab = n_rows
                 # static-size unique; padding slots get id == vocab, which
                 # scatter drops and whose gathered grads are masked to 0
                 uids = jnp.unique(ids, size=ids.shape[0], fill_value=vocab)
@@ -375,7 +404,7 @@ class BaseModel(object):
         forward = self._make_forward()
         table_update = (self._make_table_update() if self._sparse_specs
                         else None)
-        sparse_paths = tuple(p for p, _, _ in self._sparse_specs)
+        sparse_paths = tuple(s[0] for s in self._sparse_specs)
 
         def compute_loss(y_pred, y, sw):
             if isinstance(loss_func, list):
@@ -701,7 +730,7 @@ class BaseModel(object):
             self.opt_state = self._masked_optim.init(self.params)
             self.table_state = {
                 p: self._init_table_state(_get_path(self.params, p))
-                for p, _, _ in self._sparse_specs}
+                for p, _, _, _ in self._sparse_specs}
         self._sharding_applied = False
         if self._compiled:
             self._apply_sharding()

@@ -115,6 +115,36 @@ def _gather_rows_pallas(packed, ids, width, pack):
     return wide[:, :width]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_packed(packed, ids, width, pack):
+    """Differentiable lookup on a PACKED table [Vp, 128] (the storage
+    format of big tables in EmbeddingDict): ids refer to logical vocab
+    rows; returns [n, width]."""
+    return _gather_rows_pallas(packed, ids, width, pack)
+
+
+def _gather_packed_fwd(packed, ids, width, pack):
+    return _gather_rows_pallas(packed, ids, width, pack), (packed, ids)
+
+
+def _gather_packed_bwd(width, pack, res, g):
+    """Scatter-add directly in the packed layout: widen each [width] grad
+    row to the [128] lane row it came from (tile + group mask — the same
+    mask as the forward), then row-scatter at the packed row index.  A
+    detour through an unpacked [V, width] buffer costs a full-table
+    relayout per table per step (measured: slower than no packing)."""
+    packed, ids = res
+    prow = ids // pack
+    lane_group = (jnp.arange(128, dtype=jnp.int32) // width)[None, :]
+    mask = (lane_group == (ids % pack).astype(jnp.int32)[:, None]
+            ).astype(packed.dtype)
+    g_wide = jnp.tile(g.astype(packed.dtype), (1, pack)) * mask
+    return jnp.zeros_like(packed).at[prow].add(g_wide), None
+
+
+gather_rows_packed.defvjp(_gather_packed_fwd, _gather_packed_bwd)
+
+
 @jax.custom_vjp
 def gather_rows(table, ids):
     """table [V, W] (W divides 128), ids int32 [n] -> [n, W]."""
