@@ -35,7 +35,12 @@ def masked_pooling(seq_value_len_list, mode, supports_masking):
         mask = (pos < length.astype(jnp.int32))[:, :, None].astype(seq.dtype)
     if mode == "max":
         hist = seq - (1.0 - mask) * 1e9
-        return jnp.max(hist, axis=1, keepdims=True)
+        out = jnp.max(hist, axis=1, keepdims=True)
+        # all-padding sequences pool to 0, not -1e9: the reference leaks
+        # its mask constant for empty sequences (sequence.py:66-70), which
+        # poisons downstream layers (e.g. DIFM's refine weights square it
+        # into overflow) — zero matches the sum/mean empty-case semantics
+        return jnp.where(length[:, None] > 0, out, 0.0)
     hist = jnp.sum(seq * mask, axis=1, keepdims=False)
     if mode == "mean":
         hist = hist / (length.astype(seq.dtype) + 1e-8)
