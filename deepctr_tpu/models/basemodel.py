@@ -151,15 +151,17 @@ class BaseModel(object):
     def _build_reg_fn(self):
         flat = _flatten_with_paths(self.params)
         wide_cols = self._wide_cols
-        # tables on the sparse-update path: keep their reg term in the
-        # LOSS VALUE but stop its gradient — the regularization gradient
-        # is applied lazily to touched rows in the table update instead
-        # (a dense reg grad would defeat the sparse update entirely)
+        # tables on the sparse-update path are fully lazy: both the reg
+        # VALUE and its gradient are applied to touched rows inside the
+        # table update — including them here would read (value) and write
+        # (gradient) every full table every step, which at production
+        # vocab sizes costs more than the rest of the step combined
         sparse_paths = {s[0] for s in getattr(self, "_sparse_specs", [])}
         groups = []
         for pattern, l1, l2, part in self.regularization_rules:
             rx = re.compile(pattern)
-            paths = [p for p, _ in flat if rx.search(p)]
+            paths = [p for p, _ in flat
+                     if rx.search(p) and p not in sparse_paths]
             if part == "wide":
                 paths = [p for p in paths if p in wide_cols]
             if paths:
@@ -170,8 +172,6 @@ class BaseModel(object):
             for paths, l1, l2, part in groups:
                 for p in paths:
                     w = _get_path(params, p)
-                    if p in sparse_paths:
-                        w = jax.lax.stop_gradient(w)
                     dim = wide_cols.get(p)
                     if dim is not None and part == "deep":
                         w = w[:, :dim]
@@ -337,25 +337,25 @@ class BaseModel(object):
                      for s, e in spans])
                 if pack > 1:   # packed table: update by packed row index
                     ids = ids // pack
-                vocab = n_rows
-                # static-size unique; padding slots get id == vocab, which
-                # scatter drops and whose gathered grads are masked to 0
-                uids = jnp.unique(ids, size=ids.shape[0], fill_value=vocab)
-                valid = (uids < vocab)[:, None]
-                safe = jnp.minimum(uids, vocab - 1)
-                g_rows = g[safe] * valid
-                w_rows = w[safe]
+                # duplicate-safe without a device sort (jnp.unique):
+                # every occurrence of a row carries the SAME accumulated
+                # gradient row, so dividing each occurrence's step by the
+                # occurrence count makes the scatter-add total exactly one
+                # step per touched row; the accumulator set is idempotent
+                counts = jnp.zeros((n_rows,), jnp.float32).at[ids].add(1.0)
+                g_rows = g[ids]
+                w_rows = w[ids]
                 # lazy L2: regularize only the touched rows
-                g_rows = g_rows + 2.0 * l2_vec[None, :] * w_rows * valid
+                g_rows = g_rows + 2.0 * l2_vec[None, :] * w_rows
                 if opt_name == "adagrad":
                     acc = table_state[path]
-                    acc_rows = acc[safe] + jnp.square(g_rows)
-                    new_state[path] = acc.at[uids].set(acc_rows,
-                                                       mode="drop")
+                    acc_rows = acc[ids] + jnp.square(g_rows)
+                    new_state[path] = acc.at[ids].set(acc_rows)
                     step_rows = lr * g_rows * jax.lax.rsqrt(acc_rows + eps)
                 else:
                     step_rows = lr * g_rows
-                w = w.at[uids].add(-step_rows, mode="drop")
+                step_rows = step_rows / counts[ids][:, None]
+                w = w.at[ids].add(-step_rows)
                 params = _set_path(params, path, w)
             return params, new_state
         return table_update
@@ -427,15 +427,19 @@ class BaseModel(object):
             (total, (new_stats, data_loss, y_pred)), grads = (
                 jax.value_and_grad(loss_fn, has_aux=True)(params))
             updates, new_opt_state = optim.update(grads, opt_state, params)
-            if table_update is not None:
-                # optax.masked passes masked leaves' updates through
-                # UNCHANGED (i.e. the raw gradient) — zero them so only
-                # the sparse table update touches the tables
-                for p in sparse_paths:
-                    updates = _set_path(
-                        updates, p, jnp.zeros_like(_get_path(updates, p)))
-            new_params = optax.apply_updates(params, updates)
-            if table_update is not None:
+            if table_update is None:
+                new_params = optax.apply_updates(params, updates)
+            else:
+                # sparse-updated tables bypass optax entirely: optax.masked
+                # passes their updates through UNCHANGED (the raw
+                # gradient), and even an add-of-zeros would copy each
+                # multi-MB table — pass the leaf through untouched instead
+                def _apply(path, p, u):
+                    if _path_str(path) in sparse_paths:
+                        return p
+                    return optax.apply_updates(p, u)
+                new_params = jax.tree_util.tree_map_with_path(
+                    _apply, params, updates)
                 new_params, table_state = table_update(
                     new_params, table_state, grads, X)
             return (new_params, new_opt_state, table_state, new_stats,
