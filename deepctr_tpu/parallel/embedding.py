@@ -1,0 +1,98 @@
+"""Explicit-collective sharded embedding lookup (shard_map).
+
+The default multi-chip path lets GSPMD propagate shardings through the
+jitted step (parallel/sharding.py): a `NamedSharding(('model', None))`
+table makes XLA insert the lookup exchange automatically.  This module is
+the EXPLICIT alternative — the collectives are written out — for cases
+where GSPMD's choice is poor or the schedule must be controlled
+(SURVEY.md §5.8: "row-sharded tables with all-to-all lookup exchange").
+
+Two exchanges are provided:
+
+* ``psum_lookup`` — every device gathers the rows it owns (out-of-range
+  ids contribute zeros) and the partial results are summed over the
+  'model' axis.  Traffic: B*E per device per step, one all-reduce.  Best
+  for CTR-sized embedding dims (E <= 64): the rows are small and the
+  all-reduce rides ICI.
+* ``a2a_lookup`` — ids are bucketed by owner with a static per-device
+  capacity, exchanged with `all_to_all`, gathered locally, and exchanged
+  back.  Traffic: B*E/M + B ids; wins when E is large or the model axis
+  is wide.  Capacity is `ceil(B/M) * slack` — overflow ids fall back to
+  zeros (callers should size slack for their id skew).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def psum_lookup(mesh, sharded_table, ids, axis="model"):
+    """sharded_table [V, E] row-sharded over ``axis``; ids int32 [...].
+    Returns [..., E] replicated over ``axis``."""
+    M = mesh.shape[axis]
+    V = sharded_table.shape[0]
+    rows_per = V // M
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P()), out_specs=P())
+    def f(local_table, flat_ids):
+        my = jax.lax.axis_index(axis)
+        local = flat_ids - my * rows_per
+        in_range = (local >= 0) & (local < rows_per)
+        rows = jnp.take(local_table,
+                        jnp.clip(local, 0, rows_per - 1), axis=0)
+        rows = rows * in_range[:, None].astype(rows.dtype)
+        return jax.lax.psum(rows, axis)
+
+    flat = ids.reshape(-1)
+    out = f(sharded_table, flat)
+    return out.reshape(ids.shape + (sharded_table.shape[1],))
+
+
+def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0):
+    """all_to_all exchange: route each id to its owning shard, gather
+    there, route the rows back.  Static capacity ``ceil(B/M)*slack`` per
+    (src, dst) pair; overflowing ids return zero rows."""
+    M = mesh.shape[axis]
+    V, E = sharded_table.shape
+    rows_per = V // M
+    flat = ids.reshape(-1)
+    B = flat.shape[0]
+    cap = int(math.ceil(B / M) * slack)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P()), out_specs=P(),
+        check_rep=False)   # replication through all_to_all is by
+                           # construction (ids replicated => symmetric
+                           # exchange) but not statically inferable
+    def f(local_table, flat_ids):
+        owner = jnp.clip(flat_ids // rows_per, 0, M - 1)      # [B]
+        # slot of each id within its owner's bucket
+        onehot = jax.nn.one_hot(owner, M, dtype=jnp.int32)    # [B, M]
+        slot = jnp.cumsum(onehot, axis=0)[jnp.arange(B), owner] - 1
+        ok = slot < cap
+        # bucketed ids [M, cap] (+ position bookkeeping for the return)
+        buckets = jnp.zeros((M, cap), jnp.int32)
+        buckets = buckets.at[owner, jnp.where(ok, slot, cap - 1)].set(
+            jnp.where(ok, flat_ids, 0), mode="drop")
+        # exchange: dim 0 is the destination shard
+        recv = jax.lax.all_to_all(buckets, axis, 0, 0,
+                                  tiled=True)                 # [M, cap]
+        my = jax.lax.axis_index(axis)
+        local = jnp.clip(recv - my * rows_per, 0, rows_per - 1)
+        rows = jnp.take(local_table, local.reshape(-1),
+                        axis=0).reshape(M, cap, E)
+        rows_back = jax.lax.all_to_all(rows, axis, 0, 0,
+                                       tiled=True)            # [M, cap, E]
+        out = rows_back[owner, jnp.where(ok, slot, 0)]
+        out = out * ok[:, None].astype(rows_back.dtype)
+        return out
+
+    out = f(sharded_table, flat)
+    return out.reshape(ids.shape + (E,))
