@@ -54,3 +54,32 @@ def test_graft_entry_dryrun():
     import importlib
     mod = importlib.import_module("__graft_entry__")
     mod.dryrun_multichip(8)
+
+
+def test_mtl_model_under_mesh():
+    from deepctr_tpu.models.multitask import MMOE
+    from .utils_mtl import get_mtl_test_data
+    mesh = make_mesh((4, 2))
+    x, y, cols = get_mtl_test_data(64, sparse_feature_num=2,
+                                   dense_feature_num=1)
+    model = MMOE(cols, num_experts=2, expert_dnn_hidden_units=(8,),
+                 task_types=("binary", "binary"), task_names=("a", "b"),
+                 mesh=mesh, shard_embeddings=True)
+    model.compile("adam", ["binary_crossentropy", "binary_crossentropy"],
+                  metrics=["binary_crossentropy"])
+    model.fit(x, y, batch_size=32, epochs=1, verbose=0)
+    pred = model.predict(x, 32)
+    assert pred.shape == (64, 2) and np.all(np.isfinite(pred))
+
+
+def test_din_under_mesh():
+    from deepctr_tpu.models import DIN
+    from .models.DIN_test import get_xy_fd
+    mesh = make_mesh((8, 1))
+    x, y, cols, behavior_list = get_xy_fd()
+    model = DIN(cols, behavior_list, dnn_hidden_units=(8,),
+                att_activation="relu", mesh=mesh)
+    model.compile("adam", "binary_crossentropy")
+    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
+    pred = model.predict(x, 8)
+    assert pred.shape == (4, 1) and np.all(np.isfinite(pred))

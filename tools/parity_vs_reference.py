@@ -39,33 +39,31 @@ def prepare():
     return data, train, test, sparse_features, dense_features
 
 
-def run_ours(data, train, test, sparse, dense, epochs, seed):
-    from deepctr_tpu.features import SparseFeat, DenseFeat, get_feature_names
-    from deepctr_tpu.models import DeepFM
-    cols = ([SparseFeat(f, data[f].max() + 1, 4) for f in sparse]
-            + [DenseFeat(f, 1) for f in dense])
-    names = get_feature_names(cols)
-    model = DeepFM(cols, cols, task="binary", l2_reg_embedding=1e-5,
-                   seed=seed)
-    model.compile("adagrad", "binary_crossentropy",
-                  metrics=["binary_crossentropy"])
-    model.fit({n: train[n] for n in names}, train["label"].values,
-              batch_size=32, epochs=epochs, verbose=0, validation_split=0.2)
-    pred = model.predict({n: test[n] for n in names}, 256)
-    return (log_loss(test["label"].values, pred),
-            roc_auc_score(test["label"].values, pred))
+MODEL_KWARGS = {
+    "DeepFM": {},
+    "WDL": {},
+    "xDeepFM": dict(dnn_hidden_units=(64,), cin_layer_size=(16, 8)),
+    "DCN": dict(cross_num=2),
+    "AutoInt": dict(att_layer_num=2, dnn_hidden_units=(64,)),
+    "NFM": {},
+}
 
 
-def run_reference(data, train, test, sparse, dense, epochs, seed):
-    sys.path.insert(0, "/root/reference")
-    from deepctr_torch.inputs import (SparseFeat, DenseFeat,
-                                      get_feature_names)
-    from deepctr_torch.models import DeepFM
-    cols = ([SparseFeat(f, data[f].max() + 1, 4) for f in sparse]
-            + [DenseFeat(f, 1) for f in dense])
-    names = get_feature_names(cols)
-    model = DeepFM(cols, cols, task="binary", l2_reg_embedding=1e-5,
-                   seed=seed, device="cpu")
+def _run(modname, model_name, data, train, test, sparse, dense, epochs,
+         seed, torch_device=None):
+    import importlib
+    pkg = importlib.import_module(modname + ".models")
+    feats = importlib.import_module(
+        modname + (".inputs" if modname == "deepctr_torch" else ".features"))
+    cols = ([feats.SparseFeat(f, data[f].max() + 1, 4) for f in sparse]
+            + [feats.DenseFeat(f, 1) for f in dense])
+    names = feats.get_feature_names(cols)
+    kwargs = dict(MODEL_KWARGS[model_name])
+    if torch_device is not None:
+        kwargs["device"] = torch_device
+    model = getattr(pkg, model_name)(cols, cols, task="binary",
+                                     l2_reg_embedding=1e-5, seed=seed,
+                                     **kwargs)
     model.compile("adagrad", "binary_crossentropy",
                   metrics=["binary_crossentropy"])
     model.fit({n: train[n] for n in names}, train["label"].values,
@@ -78,11 +76,17 @@ def run_reference(data, train, test, sparse, dense, epochs, seed):
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, "/root/reference")
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    models = (sys.argv[2].split(",") if len(sys.argv) > 2
+              else list(MODEL_KWARGS))
     data, train, test, sparse, dense = prepare()
-    for seed in (1024, 7, 2020):
-        ours = run_ours(data, train, test, sparse, dense, epochs, seed)
-        ref = run_reference(data, train, test, sparse, dense, epochs, seed)
-        print("seed %4d | ours  logloss %.4f auc %.4f | reference "
-              "logloss %.4f auc %.4f"
-              % (seed, ours[0], ours[1], ref[0], ref[1]))
+    for model_name in models:
+        for seed in (1024, 2020):
+            ours = _run("deepctr_tpu", model_name, data, train, test,
+                        sparse, dense, epochs, seed)
+            ref = _run("deepctr_torch", model_name, data, train, test,
+                       sparse, dense, epochs, seed, torch_device="cpu")
+            print("%-8s seed %4d | ours  logloss %.4f auc %.4f | "
+                  "reference logloss %.4f auc %.4f"
+                  % (model_name, seed, ours[0], ours[1], ref[0], ref[1]))
