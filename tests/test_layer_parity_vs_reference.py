@@ -138,3 +138,86 @@ def test_dice_parity():
         {"params": params, "batch_stats": variables["batch_stats"]},
         jnp.asarray(x), training=False))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sequence_pooling_parity():
+    from deepctr_torch.layers import SequencePoolingLayer as TorchSPL
+    from deepctr_tpu.layers.sequence import masked_pooling
+    T = 6
+    seq = np.random.default_rng(4).normal(size=(B, T, E)).astype(
+        np.float32)
+    lengths = np.random.default_rng(5).integers(1, T + 1, (B, 1))
+    # 'max' omitted: the reference layer itself crashes on torch 2.x
+    # (`1 - mask` on a bool tensor, deepctr_torch/layers/sequence.py:66)
+    for mode in ("sum", "mean"):
+        t = TorchSPL(mode=mode, supports_masking=False)
+        ref = t([torch.from_numpy(seq),
+                 torch.from_numpy(lengths)]).detach().numpy()
+        got = np.asarray(masked_pooling(
+            [jnp.asarray(seq), jnp.asarray(lengths.astype(np.float32))],
+            mode, supports_masking=False))
+        np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_augru_cell_parity():
+    from deepctr_torch.layers.sequence import AUGRUCell as TorchAUGRU
+    from deepctr_tpu.layers.sequence import AUGRUCell
+    I = H = E
+    x = np.random.default_rng(6).normal(size=(B, I)).astype(np.float32)
+    h = np.random.default_rng(7).normal(size=(B, H)).astype(np.float32)
+    att = np.random.default_rng(8).random((B, 1)).astype(np.float32)
+    t = TorchAUGRU(I, H, bias=True)
+    for p in t.parameters():
+        torch.nn.init.normal_(p, std=0.3)
+    ref = t(torch.from_numpy(x), torch.from_numpy(h),
+            torch.from_numpy(att)).detach().numpy()
+    ours = AUGRUCell(input_size=I, hidden_size=H)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray(h), jnp.asarray(att))
+    # note: the reference registers bias_hh under the name 'bias_ih'
+    # twice (its own bug, sequence.py:262) — read attributes directly
+    params = {
+        "weight_ih": jnp.asarray(t.weight_ih.detach().numpy()),
+        "weight_hh": jnp.asarray(t.weight_hh.detach().numpy()),
+        "bias_ih": jnp.asarray(t.bias_ih.detach().numpy()),
+        "bias_hh": jnp.asarray(t.bias_hh.detach().numpy()),
+    }
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(h), jnp.asarray(att)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_sequence_pooling_parity():
+    from deepctr_torch.layers import (
+        AttentionSequencePoolingLayer as TorchASPL)
+    from deepctr_tpu.layers import AttentionSequencePoolingLayer
+    T = 6
+    q = np.random.default_rng(9).normal(size=(B, 1, E)).astype(np.float32)
+    keys = np.random.default_rng(10).normal(size=(B, T, E)).astype(
+        np.float32)
+    lengths = np.random.default_rng(11).integers(1, T + 1, (B, 1))
+    t = TorchASPL(att_hidden_units=(8,), att_activation="sigmoid",
+                  weight_normalization=True, embedding_dim=E)
+    t.eval()
+    ref = t(torch.from_numpy(q), torch.from_numpy(keys),
+            torch.from_numpy(lengths)).detach().numpy()
+    ours = AttentionSequencePoolingLayer(
+        att_hidden_units=(8,), att_activation="sigmoid",
+        weight_normalization=True)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(q),
+                          jnp.asarray(keys),
+                          jnp.asarray(lengths[:, 0].astype(np.int32)))
+    lau = t.local_att
+    dense0 = lau.dnn.linears[0]
+    params = {"local_att": {
+        "dnn": {"dense_0": {
+            "kernel": jnp.asarray(dense0.weight.detach().numpy().T),
+            "bias": jnp.asarray(dense0.bias.detach().numpy())}},
+        "dense": {
+            "kernel": jnp.asarray(lau.dense.weight.detach().numpy().T),
+            "bias": jnp.asarray(lau.dense.bias.detach().numpy())}}}
+    got = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(q), jnp.asarray(keys),
+        jnp.asarray(lengths[:, 0].astype(np.int32))))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
