@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 try:
     from tqdm import tqdm

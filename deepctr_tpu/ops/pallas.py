@@ -21,7 +21,6 @@ from jax.experimental.pallas import tpu as pltpu
 # batch rows processed per grid step; 8 keeps z (bt*D*H*F) comfortably in
 # VMEM at CIN-scale shapes while giving the MXU a [bt*D, HF] LHS
 _BT = 8
-_VMEM_BUDGET = 100 * 1024 * 1024  # bytes; well under 16MB/core after tiling
 
 
 def _cin_shapes(hidden_t, x0_t, w):
