@@ -521,17 +521,27 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     def fit(self, x=None, y=None, batch_size=None, epochs=1, verbose=1,
             initial_epoch=0, validation_split=0., validation_data=None,
-            shuffle=True, callbacks=None, profile=None):
+            shuffle=True, callbacks=None, profile=None,
+            steps_per_epoch=None):
         """Keras-style training loop; returns a History object.
         (reference parity: basemodel.py:137-309)
 
-        ``profile`` (TPU addition): a directory path — captures a
-        jax.profiler trace of the training loop for analysis in
-        TensorBoard/XProf.
+        TPU additions beyond the reference:
+          * ``profile``: a directory path — captures a jax.profiler trace
+            of the training loop for TensorBoard/XProf.
+          * streaming input: ``x`` may be a zero-arg CALLABLE returning an
+            iterator of ``(x_chunk, y_chunk)`` pairs (called once per
+            epoch), for datasets larger than host memory.  Chunks may be
+            any size; each is padded/split to ``batch_size`` steps.
+            ``steps_per_epoch`` optionally caps the steps consumed.
         """
         if profile:
             jax.profiler.start_trace(profile)
         try:
+            if callable(x):
+                return self._fit_stream(x, batch_size, epochs, verbose,
+                                        initial_epoch, validation_data,
+                                        callbacks, steps_per_epoch)
             return self._fit(x, y, batch_size, epochs, verbose,
                              initial_epoch, validation_split,
                              validation_data, shuffle, callbacks)
@@ -541,6 +551,77 @@ class BaseModel(object):
                     jax.profiler.stop_trace()
                 except Exception:
                     pass
+
+    def _fit_stream(self, make_iter, batch_size, epochs, verbose,
+                    initial_epoch, validation_data, callbacks,
+                    steps_per_epoch):
+        """Chunked/streaming training: one pass over ``make_iter()`` per
+        epoch; each yielded (x_chunk, y_chunk) is assembled host-side and
+        consumed in fixed-shape ``batch_size`` steps."""
+        if batch_size is None:
+            batch_size = 256
+        self._ensure_compiled()
+        base_rng = jax.random.PRNGKey(self.seed + 1)
+        callbacks = CallbackList((callbacks or []) + [self.history])
+        callbacks.set_model(self)
+        callbacks.on_train_begin()
+        self.stop_training = False
+        global_step = 0
+        for epoch in range(initial_epoch, epochs):
+            callbacks.on_epoch_begin(epoch)
+            start_time = time.time()
+            total_loss_epoch, sample_num, steps = 0.0, 0, 0
+            for x_chunk, y_chunk in make_iter():
+                X = self._assemble_x(x_chunk)
+                yc = np.asarray(y_chunk, dtype=np.float32)
+                if yc.ndim == 1:
+                    yc = yc[:, None]
+                for lo in range(0, len(X), batch_size):
+                    if steps_per_epoch and steps >= steps_per_epoch:
+                        break
+                    xb = X[lo:lo + batch_size]
+                    yb = yc[lo:lo + batch_size]
+                    n_valid = len(xb)
+                    if n_valid < batch_size:
+                        pad = batch_size - n_valid
+                        xb = np.concatenate(
+                            [xb, np.zeros((pad, X.shape[1]), np.float32)])
+                        yb = np.concatenate(
+                            [yb, np.zeros((pad, yb.shape[1]), np.float32)])
+                    sw = np.zeros(batch_size, np.float32)
+                    sw[:n_valid] = 1.0
+                    rng = jax.random.fold_in(base_rng, global_step)
+                    xb, yb, swb = self._put_batch(xb, yb, sw)
+                    (self.params, self.opt_state, self.table_state,
+                     self.batch_stats, _, total_loss,
+                     _) = self._train_step(
+                        self.params, self.opt_state, self.table_state,
+                        self.batch_stats, rng, xb, yb, swb)
+                    global_step += 1
+                    steps += 1
+                    sample_num += n_valid
+                    total_loss_epoch += float(total_loss)
+                if steps_per_epoch and steps >= steps_per_epoch:
+                    break
+            epoch_logs = {"loss": total_loss_epoch / max(sample_num, 1)}
+            if validation_data:
+                val_x, val_y = validation_data[:2]
+                for name, result in self.evaluate(val_x, val_y,
+                                                  batch_size).items():
+                    epoch_logs["val_" + name] = result
+            if verbose > 0:
+                print("Epoch {0}/{1} - {2}s - {3} samples - loss: {4:.4f}"
+                      .format(epoch + 1, epochs,
+                              int(time.time() - start_time), sample_num,
+                              epoch_logs["loss"]) +
+                      "".join(" - %s: %.4f" % (k, v)
+                              for k, v in epoch_logs.items()
+                              if k != "loss"))
+            callbacks.on_epoch_end(epoch, epoch_logs)
+            if self.stop_training:
+                break
+        callbacks.on_train_end()
+        return self.history
 
     def _fit(self, x, y, batch_size, epochs, verbose, initial_epoch,
              validation_split, validation_data, shuffle, callbacks):
