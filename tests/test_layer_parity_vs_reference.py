@@ -221,3 +221,52 @@ def test_attention_sequence_pooling_parity():
         {"params": params}, jnp.asarray(q), jnp.asarray(keys),
         jnp.asarray(lengths[:, 0].astype(np.int32))))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_inner_product_parity():
+    from deepctr_torch.layers import InnerProductLayer as TorchIPL
+    from deepctr_tpu.layers import InnerProductLayer
+    x = _x()
+    emb_list = [torch.from_numpy(x[:, i:i + 1]) for i in range(F)]
+    ref = TorchIPL()(emb_list).detach().numpy()
+    ours = InnerProductLayer()
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_logtransform_parity():
+    from deepctr_torch.layers import LogTransformLayer as TorchLTL
+    from deepctr_tpu.layers import LogTransformLayer
+    x = np.abs(_x()) + 0.1
+    t = TorchLTL(field_size=F, embedding_size=E, ltl_hidden_size=3)
+    t.eval()
+    ref = t(torch.from_numpy(x)).detach().numpy()
+    ours = LogTransformLayer(field_size=F, embedding_size=E,
+                             ltl_hidden_size=3)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          training=False)
+    params = {
+        "ltl_weights": jnp.asarray(t.ltl_weights.detach().numpy().reshape(5, 3)),
+        "ltl_biases": jnp.asarray(t.ltl_biases.detach().numpy().reshape(-1)),
+    }
+    # copy BN affine+stats (both BNs start at identity stats in eval after
+    # construction: running_mean 0, var 1, weight 1, bias 0)
+    got = np.asarray(ours.apply(
+        {"params": {**variables["params"], **params},
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), training=False))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_kmax_pooling_parity():
+    from deepctr_torch.layers import KMaxPooling as TorchKMP
+    from deepctr_tpu.layers import KMaxPooling
+    x = _x()
+    t = TorchKMP(k=3, axis=1, device="cpu")
+    ref = t(torch.from_numpy(x)).detach().numpy()
+    ours = KMaxPooling(k=3, axis=1)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
