@@ -23,7 +23,12 @@ def fused_wide_names(linear_feature_columns, dnn_feature_columns):
     column also declares with the same vocabulary.  Tables large enough
     for packed storage are excluded — packing requires the deep width to
     divide 128, and the packed Pallas gather also fixes the width-1
-    linear-table pathology the fusion exists to avoid."""
+    linear-table pathology the fusion exists to avoid.  The check covers
+    BOTH candidate widths: the bare deep width ``dim`` and the fused
+    width ``dim + 1`` that EmbeddingDict would actually store (e.g.
+    dim=15, 128 % 15 != 0 but 128 % 16 == 0 — fusing such a table would
+    make it pack, and the column-split regularization assumes fused
+    tables are never packed)."""
     from ..inputs import packed_eligible
     deep = {f.embedding_name: (f.vocabulary_size, f.embedding_dim)
             for f in dnn_feature_columns
@@ -35,7 +40,8 @@ def fused_wide_names(linear_feature_columns, dnn_feature_columns):
         entry = deep.get(f.embedding_name)
         if entry is None or entry[0] != f.vocabulary_size:
             continue
-        if packed_eligible(entry[0], entry[1]):
+        if (packed_eligible(entry[0], entry[1])
+                or packed_eligible(entry[0], entry[1] + 1)):
             continue
         if f.embedding_name not in fused:
             fused.append(f.embedding_name)

@@ -26,7 +26,12 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+    _CHECK_KW = "check_vma"   # jax >= 0.8 name for replication checking
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _CHECK_KW = "check_rep"
 from jax.sharding import PartitionSpec as P
 
 
@@ -54,10 +59,18 @@ def psum_lookup(mesh, sharded_table, ids, axis="model"):
     return out.reshape(ids.shape + (sharded_table.shape[1],))
 
 
-def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0):
+def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0,
+               return_overflow=False):
     """all_to_all exchange: route each id to its owning shard, gather
     there, route the rows back.  Static capacity ``ceil(B/M)*slack`` per
-    (src, dst) pair; overflowing ids return zero rows."""
+    (src, dst) pair; ids beyond a bucket's capacity return zero rows
+    (their writes are routed out of bounds and DROPPED — they can never
+    clobber a valid id's slot).
+
+    Capacity overflow is a data-dependent event inside jit, so it cannot
+    raise; with ``return_overflow=True`` the call also returns the number
+    of dropped ids as an int32 scalar, which callers should check (the
+    engine's a2a backend asserts it is zero between steps)."""
     M = mesh.shape[axis]
     V, E = sharded_table.shape
     rows_per = V // M
@@ -67,20 +80,22 @@ def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P()), out_specs=P(),
-        check_rep=False)   # replication through all_to_all is by
-                           # construction (ids replicated => symmetric
-                           # exchange) but not statically inferable
+        in_specs=(P(axis, None), P()), out_specs=(P(), P()),
+        # replication through all_to_all is by construction (ids
+        # replicated => symmetric exchange) but not statically inferable
+        **{_CHECK_KW: False})
     def f(local_table, flat_ids):
         owner = jnp.clip(flat_ids // rows_per, 0, M - 1)      # [B]
         # slot of each id within its owner's bucket
         onehot = jax.nn.one_hot(owner, M, dtype=jnp.int32)    # [B, M]
         slot = jnp.cumsum(onehot, axis=0)[jnp.arange(B), owner] - 1
         ok = slot < cap
-        # bucketed ids [M, cap] (+ position bookkeeping for the return)
+        # bucketed ids [M, cap]; overflow slots index column `cap`, out of
+        # bounds, so mode="drop" discards them instead of overwriting the
+        # legitimate occupant of the last slot
         buckets = jnp.zeros((M, cap), jnp.int32)
-        buckets = buckets.at[owner, jnp.where(ok, slot, cap - 1)].set(
-            jnp.where(ok, flat_ids, 0), mode="drop")
+        buckets = buckets.at[owner, jnp.where(ok, slot, cap)].set(
+            flat_ids, mode="drop")
         # exchange: dim 0 is the destination shard
         recv = jax.lax.all_to_all(buckets, axis, 0, 0,
                                   tiled=True)                 # [M, cap]
@@ -92,7 +107,11 @@ def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0):
                                        tiled=True)            # [M, cap, E]
         out = rows_back[owner, jnp.where(ok, slot, 0)]
         out = out * ok[:, None].astype(rows_back.dtype)
-        return out
+        n_dropped = jnp.sum((~ok).astype(jnp.int32))
+        return out, n_dropped
 
-    out = f(sharded_table, flat)
-    return out.reshape(ids.shape + (E,))
+    out, n_dropped = f(sharded_table, flat)
+    out = out.reshape(ids.shape + (E,))
+    if return_overflow:
+        return out, n_dropped
+    return out

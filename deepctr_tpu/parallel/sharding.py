@@ -80,10 +80,13 @@ def shard_variables(mesh, params, batch_stats, opt_state=None,
         lambda x: jax.device_put(x, rep), batch_stats)
 
     if opt_state is not None:
+        # record only genuinely row-sharded leaves: comparing against the
+        # P('model', None) spec (not object identity — the tree holds a
+        # different NamedSharding instance than any local variable)
         sharded_shapes = {}
         for leaf, sh in zip(jax.tree_util.tree_leaves(params),
                             jax.tree_util.tree_leaves(shardings)):
-            if sh is not rep:
+            if getattr(sh, "spec", None) == P("model", None):
                 sharded_shapes[leaf.shape] = sh
 
         def place(x):

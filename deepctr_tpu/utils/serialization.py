@@ -66,12 +66,19 @@ def save_checkpoint(model, directory, include_optimizer=True):
     if include_optimizer and getattr(model, "optim", None) is not None:
         state["opt_state"] = tree_to_numpy(
             jax.tree_util.tree_map(np.asarray, model.opt_state))
+        # sparse-update per-row optimizer state (adagrad accumulators,
+        # lazy-adam moments) lives OUTSIDE opt_state — without it, resume
+        # silently restarts the table optimizer trajectory from zero
+        table_state = getattr(model, "table_state", None)
+        if table_state and jax.tree_util.tree_leaves(table_state):
+            state["table_state"] = tree_to_numpy(table_state)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(directory, state, force=True)
 
 
 def load_checkpoint(model, directory):
-    """Restore params/batch_stats (and optimizer state if present)."""
+    """Restore params/batch_stats (and optimizer + sparse table state if
+    present)."""
     import orbax.checkpoint as ocp
     directory = os.path.abspath(directory)
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -83,5 +90,12 @@ def load_checkpoint(model, directory):
         flat_ref, treedef = jax.tree_util.tree_flatten(ref)
         flat_new = jax.tree_util.tree_leaves(state["opt_state"])
         model.opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(n) for n in flat_new])
+    if "table_state" in state and getattr(model, "optim", None) is not None:
+        # restore AFTER set_weights (which re-initializes table_state)
+        ref = model.table_state
+        _, treedef = jax.tree_util.tree_flatten(ref)
+        flat_new = jax.tree_util.tree_leaves(state["table_state"])
+        model.table_state = jax.tree_util.tree_unflatten(
             treedef, [jnp.asarray(n) for n in flat_new])
     return model

@@ -51,3 +51,37 @@ def test_checkpoint_without_optimizer(tmp_path):
     m2.compile("adam", "binary_crossentropy")
     m2.load_checkpoint(ckpt)
     np.testing.assert_allclose(p, m2.predict(x, 64), atol=1e-6)
+
+
+def test_checkpoint_exact_resume_sparse_adagrad(tmp_path):
+    """Resume must also restore the sparse-update table state (adagrad
+    accumulators live outside opt_state when sparse_table_updates is on)."""
+    np.random.seed(0)
+    rng = np.random.default_rng(0)
+    N = 192
+    x = {"c0": rng.integers(0, 50, N), "c1": rng.integers(0, 30, N),
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 50, 4), SparseFeat("c1", 30, 4),
+            DenseFeat("d0", 1)]
+
+    def build():
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=True)
+        return m
+
+    m = build()
+    assert m._sparse_specs, "sparse path must be active for this test"
+    m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    ckpt = os.path.join(str(tmp_path), "ckpt_sparse")
+    m.save_checkpoint(ckpt)
+    m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False,
+          initial_epoch=2)
+    p_cont = m.predict(x, 64)
+
+    m2 = build()
+    m2.load_checkpoint(ckpt)
+    m2.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False,
+           initial_epoch=2)
+    np.testing.assert_allclose(p_cont, m2.predict(x, 64), atol=1e-6)

@@ -88,3 +88,22 @@ def test_packed_matches_unpacked_semantics(monkeypatch):
     m_packed.set_weights(wp)
     p2 = m_packed.predict(x, 64)
     np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+def test_wide_fusion_skipped_when_fused_width_would_pack():
+    """dim=15: 128 % 15 != 0 (not packable bare) but 128 % 16 == 0 — the
+    FUSED width would pack.  Such tables must not fuse their wide column:
+    the column-split regularization assumes fused tables are unpacked
+    (width dim+1), so a fused+packed table would l2-regularize packed
+    lanes with the wrong strengths."""
+    x, y, _ = _data()
+    V = 2048
+    cols = [SparseFeat("big", V, 15), SparseFeat("small", 10, 15),
+            DenseFeat("d0", 1)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    emb = m.params["embedding_dict"]
+    assert emb["big"].shape == (V, 15)             # unpacked, NOT fused
+    assert emb["small"].shape == (10, 16)          # small: fused as usual
+    lin = m.params["linear_model"]["embedding_dict"]
+    assert lin["big"].shape == (V // 128, 128)     # separate packed wide
+    assert "embedding_dict/big" not in m._wide_cols

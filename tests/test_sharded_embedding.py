@@ -62,3 +62,30 @@ def test_psum_lookup_grads_flow(setup):
     g_ref = jax.grad(loss_ref)(table)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_a2a_overflow_drops_without_corruption(setup):
+    """Capacity overflow must (a) be countable and (b) never clobber a
+    valid id's slot: dropped ids return zero rows, everything else is
+    exact (round-1 bug: overflow writes clamped INTO slot cap-1,
+    corrupting its legitimate occupant)."""
+    mesh, table, _ = setup
+    V = table.shape[0]
+    # all 40 ids owned by shard 0 -> bucket needs 40 slots; slack=1.0 gives
+    # cap = ceil(40/8) = 5 -> 35 overflow ids
+    ids = jnp.asarray(np.arange(40) % (V // 8), jnp.int32)
+    out, n_dropped = a2a_lookup(mesh, table, ids, slack=1.0,
+                                return_overflow=True)
+    assert int(n_dropped) == 35
+    ref = np.asarray(jnp.take(table, ids, axis=0))
+    out = np.asarray(out)
+    # first `cap` occurrences are exact, the rest are zero rows
+    np.testing.assert_allclose(out[:5], ref[:5], rtol=1e-6)
+    np.testing.assert_array_equal(out[5:], 0.0)
+
+
+def test_a2a_no_overflow_count_zero(setup):
+    mesh, table, ids = setup
+    out, n_dropped = a2a_lookup(mesh, table, ids, slack=8.0,
+                                return_overflow=True)
+    assert int(n_dropped) == 0
