@@ -112,9 +112,9 @@ class EarlyStopping(Callback):
     def on_epoch_end(self, epoch, logs=None):
         current = (logs or {}).get(self.monitor)
         if current is None:
-            print("Early stopping conditioned on metric `%s` which is not "
-                  "available. Available metrics are: %s"
-                  % (self.monitor, ",".join(list((logs or {}).keys()))))
+            print("EarlyStopping: monitored metric %r missing from logs "
+                  "(have: %s)" % (self.monitor,
+                                  ", ".join(sorted(logs or {}))))
             return
         if self.monitor_op(current - self.min_delta, self.best):
             self.best = current
@@ -128,13 +128,14 @@ class EarlyStopping(Callback):
                 self.model.stop_training = True
                 if self.restore_best_weights and self.best_weights is not None:
                     if self.verbose > 0:
-                        print("Restoring model weights from the end of the "
-                              "best epoch.")
+                        print("EarlyStopping: rolling weights back to the "
+                              "best epoch")
                     self.model.set_weights(self.best_weights)
 
     def on_train_end(self, logs=None):
         if self.stopped_epoch > 0 and self.verbose > 0:
-            print("Epoch %05d: early stopping" % (self.stopped_epoch + 1))
+            print("EarlyStopping: halted after epoch %d"
+                  % (self.stopped_epoch + 1))
 
 
 class ModelCheckpoint(Callback):
@@ -173,22 +174,23 @@ class ModelCheckpoint(Callback):
             if self.save_best_only:
                 current = logs.get(self.monitor)
                 if current is None:
-                    print("Can save best model only with %s available, "
-                          "skipping." % self.monitor)
+                    print("ModelCheckpoint: monitored metric %r missing "
+                          "from logs (have: %s) — nothing saved this epoch"
+                          % (self.monitor, ", ".join(sorted(logs))))
                 else:
                     if self.monitor_op(current, self.best):
                         if self.verbose > 0:
-                            print("Epoch %05d: %s improved from %0.5f to "
-                                  "%0.5f, saving model to %s"
-                                  % (epoch + 1, self.monitor, self.best,
-                                     current, filepath))
+                            print("epoch %d: new best %s (%.5f, was %.5f) "
+                                  "-> %s" % (epoch + 1, self.monitor,
+                                             current, self.best, filepath))
                         self.best = current
                         self._save(filepath)
                     elif self.verbose > 0:
-                        print("Epoch %05d: %s did not improve from %0.5f"
-                              % (epoch + 1, self.monitor, self.best))
+                        print("epoch %d: %s=%.5f, best remains %.5f — "
+                              "not saving" % (epoch + 1, self.monitor,
+                                              current, self.best))
             else:
                 if self.verbose > 0:
-                    print("Epoch %05d: saving model to %s"
+                    print("epoch %d: checkpoint -> %s"
                           % (epoch + 1, filepath))
                 self._save(filepath)

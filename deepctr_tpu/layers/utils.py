@@ -11,34 +11,30 @@ def concat_fun(inputs, axis=-1):
 
 
 def slice_arrays(arrays, start=None, stop=None):
-    """Keras-style array slicing used by ``fit(validation_split=...)``.
+    """Slice one array or a list of arrays along axis 0, for
+    ``fit(validation_split=...)``.
 
-    ``start`` may be a list of indices (fancy indexing) or an int; supports a
-    single array or a list of arrays.
-    (reference parity: deepctr_torch/layers/utils.py:19-70)
+    ``start`` is either an integer (``[start:stop]`` range slicing) or a
+    sequence of row indices (fancy indexing, ``stop`` must be None).
+    Behavioral contract matches the reference engine's validation-split
+    slicing (deepctr_torch/layers/utils.py:19-70): ``None`` entries pass
+    through, and a length-1 list range-sliced collapses to the bare array.
     """
     if arrays is None:
         return [None]
-    if isinstance(arrays, np.ndarray):
-        arrays = [arrays]
-    if isinstance(start, list) and stop is not None:
-        raise ValueError("The stop argument has to be None if the value of "
-                         "start is a list.")
-    elif isinstance(arrays, list):
-        if hasattr(start, "__len__"):
-            if hasattr(start, "shape"):
-                start = start.tolist()
-            return [None if x is None else x[start] for x in arrays]
-        else:
-            if len(arrays) == 1:
-                return arrays[0][start:stop]
-            return [None if x is None else x[start:stop] for x in arrays]
+    single = not isinstance(arrays, list)
+    items = [arrays] if single else arrays
+
+    fancy = hasattr(start, "__len__")
+    if fancy:
+        if stop is not None:
+            raise ValueError(
+                "stop must be None when start is an index sequence")
+        idx = np.asarray(start)
+        sliced = [None if a is None else np.asarray(a)[idx] for a in items]
     else:
-        if hasattr(start, "__len__"):
-            if hasattr(start, "shape"):
-                start = start.tolist()
-            return arrays[start]
-        elif hasattr(start, "__getitem__"):
-            return arrays[start:stop]
-        else:
-            return [None]
+        sliced = [None if a is None else a[start:stop] for a in items]
+
+    if single or (not fancy and len(sliced) == 1):
+        return sliced[0]
+    return sliced
