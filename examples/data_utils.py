@@ -8,6 +8,7 @@ schema is generated so every example stays runnable end-to-end.
 """
 
 import os
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -26,11 +27,29 @@ def find_sample(name):
     return None
 
 
+def sample_is_synthetic(name):
+    """True when ``load_*`` would fabricate data for this sample.
+
+    Anything comparing against the reference (tools/parity_vs_reference.py)
+    must refuse to report "parity" when this is True — synthetic stand-ins
+    keep the recipes runnable but are a different dataset."""
+    return find_sample(name) is None
+
+
+def _synthetic_warning(name):
+    warnings.warn(
+        "sample dataset %r not found (searched %s) — generating a SYNTHETIC "
+        "stand-in with the same schema. Results are NOT comparable with the "
+        "reference on the real sample." % (name, _SEARCH_DIRS),
+        stacklevel=3)
+
+
 def load_criteo_sample(n_synth=200):
     """-> DataFrame with columns label, I1..I13, C1..C26."""
     path = find_sample("criteo_sample.txt")
     if path:
         return pd.read_csv(path)
+    _synthetic_warning("criteo_sample.txt")
     rng = np.random.default_rng(2020)
     data = {"label": rng.integers(0, 2, n_synth)}
     for i in range(1, 14):
@@ -46,6 +65,7 @@ def load_movielens_sample(n_synth=200):
     path = find_sample("movielens_sample.txt")
     if path:
         return pd.read_csv(path)
+    _synthetic_warning("movielens_sample.txt")
     rng = np.random.default_rng(2020)
     genres_pool = ["Action", "Comedy", "Drama", "Thriller", "Romance"]
     return pd.DataFrame({
@@ -71,6 +91,7 @@ def load_byterec_sample(n_synth=500):
             names=["uid", "user_city", "item_id", "author_id", "item_city",
                    "channel", "finish", "like", "music_id", "device", "time",
                    "duration_time"])
+    _synthetic_warning("byterec_sample.txt")
     rng = np.random.default_rng(2020)
     return pd.DataFrame({
         "uid": rng.integers(0, 100, n_synth),

@@ -25,7 +25,12 @@ from sklearn.preprocessing import LabelEncoder, MinMaxScaler
 
 
 def prepare():
-    from data_utils import load_criteo_sample
+    from data_utils import load_criteo_sample, sample_is_synthetic
+    if sample_is_synthetic("criteo_sample.txt"):
+        raise SystemExit(
+            "criteo_sample.txt not found (examples/data/ or the reference "
+            "checkout) — refusing to report parity numbers on synthetic "
+            "stand-in data.")
     data = load_criteo_sample()
     sparse_features = ["C" + str(i) for i in range(1, 27)]
     dense_features = ["I" + str(i) for i in range(1, 14)]
