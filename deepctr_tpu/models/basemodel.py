@@ -761,14 +761,26 @@ class BaseModel(object):
         return self.history
 
     def evaluate(self, x, y, batch_size=256):
-        """Metrics over full predictions. (parity: basemodel.py:311-323)"""
+        """Metrics over full predictions. (parity: basemodel.py:311-323)
+
+        Multi-task models additionally report each task separately as
+        ``<task_name>_<metric>`` (the reference leaves per-task scoring to
+        user code, examples/run_multitask_learning.py:60-65; surfacing it
+        here lets History / EarlyStopping / ModelCheckpoint monitor e.g.
+        ``val_ctr_auc``).  The bare metric name stays the across-task mean.
+        """
         pred_ans = self.predict(x, batch_size)
         y = np.asarray(y)
         eval_result = {}
         for name, metric_fun in self.metrics.items():
             if self.num_tasks > 1 and y.ndim > 1 and y.shape[-1] > 1:
-                vals = [metric_fun(y[:, i], pred_ans[:, i])
-                        for i in range(y.shape[-1])]
+                task_names = list(getattr(self, "task_names", []) or
+                                  ["task%d" % i for i in range(y.shape[-1])])
+                vals = []
+                for i in range(y.shape[-1]):
+                    v = metric_fun(y[:, i], pred_ans[:, i])
+                    eval_result["%s_%s" % (task_names[i], name)] = v
+                    vals.append(v)
                 eval_result[name] = float(np.mean(vals))
             else:
                 eval_result[name] = metric_fun(y.reshape(-1),
