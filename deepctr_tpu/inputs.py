@@ -67,8 +67,15 @@ class EmbeddingDict(nn.Module):
                     packs[name] = pack
                 else:
                     shape = (vocab, width)
-                tables[name] = self.param(
-                    name, nn.initializers.normal(self.init_std), shape)
+                # declared via .variable (not .param) so apply does NOT
+                # re-validate the leaf's shape: the active-rows train step
+                # substitutes a [touched, width] slice for the full table
+                # (models/basemodel.py _make_active_rows)
+                init = nn.initializers.normal(self.init_std)
+                tables[name] = self.variable(
+                    "params", name,
+                    lambda shape=shape: init(self.make_rng("params"),
+                                             shape)).value
                 dims[name] = dim
                 vocabs[name] = vocab
         self.tables = tables
@@ -86,7 +93,8 @@ class EmbeddingDict(nn.Module):
         width = dim + 1 if name in self.wide_names else dim
         from . import config
         flat = ids.reshape(-1)
-        if (config.use_pallas_explicit() and flat.shape[0] % 1024 == 0):
+        if (config.use_pallas_explicit() and flat.shape[0] % 1024 == 0
+                and pack * width == 128):
             # explicit opt-in only: the XLA path below measured 2x faster
             # (0.099ms vs 0.183ms at [1M,16] x 4096 ids) once rows are
             # packed to 128 lanes — XLA's gather pathology is narrow ROWS,
@@ -96,7 +104,9 @@ class EmbeddingDict(nn.Module):
         else:
             n = flat.shape[0]
             rows128 = jnp.take(table, flat // pack, axis=0)   # [n, 128]
-            rows3 = rows128.reshape(n, pack, width)
+            used = (rows128[:, :pack * width] if pack * width < 128
+                    else rows128)
+            rows3 = used.reshape(n, pack, width)
             sel = (flat % pack)[:, None, None]
             rows = jnp.take_along_axis(rows3, sel, axis=1)[:, 0]
         return rows.reshape(ids.shape + (width,))
@@ -119,7 +129,14 @@ PACKED_VOCAB_THRESHOLD = 131072
 
 
 def packed_eligible(vocab, width):
-    return vocab >= PACKED_VOCAB_THRESHOLD and 128 % width == 0
+    """Big tables store ``pack = 128 // width`` logical rows per 128-lane
+    physical row (waste lanes beyond pack*width are unused).  Non-dividing
+    widths pack too — e.g. width 17 (a dim-16 table with its fused wide
+    column) packs 7 rows with 9 waste lanes — so wide-column fusion and
+    packed storage compose instead of forcing a separate width-1 wide
+    table (which would make the same id span feed two tables and defeat
+    the active-rows train step)."""
+    return vocab >= PACKED_VOCAB_THRESHOLD and width <= 64
 
 
 def sparse_ids(X, span):

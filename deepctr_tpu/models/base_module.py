@@ -18,18 +18,14 @@ from ..layers.core import PredictionLayer
 
 
 def fused_wide_names(linear_feature_columns, dnn_feature_columns):
-    """Tables whose wide weight can ride as an extra column of the deep
+    """Tables whose wide weight rides as an extra column of the deep
     table: every embedding_name used by the linear columns that a deep
-    column also declares with the same vocabulary.  Tables large enough
-    for packed storage are excluded — packing requires the deep width to
-    divide 128, and the packed Pallas gather also fixes the width-1
-    linear-table pathology the fusion exists to avoid.  The check covers
-    BOTH candidate widths: the bare deep width ``dim`` and the fused
-    width ``dim + 1`` that EmbeddingDict would actually store (e.g.
-    dim=15, 128 % 15 != 0 but 128 % 16 == 0 — fusing such a table would
-    make it pack, and the column-split regularization assumes fused
-    tables are never packed)."""
-    from ..inputs import packed_eligible
+    column also declares with the same vocabulary.  Packed big tables
+    fuse too — packing stores ``128 // (dim+1)`` logical rows per
+    physical row (inputs.packed_eligible), so the deep table, its wide
+    column, and the packed layout compose; regularization splits the
+    wide/deep strengths with pack-aware lane masks
+    (basemodel._lane_l2_vec)."""
     deep = {f.embedding_name: (f.vocabulary_size, f.embedding_dim)
             for f in dnn_feature_columns
             if isinstance(f, (SparseFeat, VarLenSparseFeat))}
@@ -39,9 +35,6 @@ def fused_wide_names(linear_feature_columns, dnn_feature_columns):
             continue
         entry = deep.get(f.embedding_name)
         if entry is None or entry[0] != f.vocabulary_size:
-            continue
-        if (packed_eligible(entry[0], entry[1])
-                or packed_eligible(entry[0], entry[1] + 1)):
             continue
         if f.embedding_name not in fused:
             fused.append(f.embedding_name)

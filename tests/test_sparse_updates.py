@@ -65,3 +65,138 @@ def test_auto_mode_off_for_small_tables():
     m.compile("adagrad", "binary_crossentropy")   # auto
     assert m._sparse_specs == []
     m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_sparse_custom_lr_matches_dense():
+    """compile(learning_rate=...) must drive the sparse table path too —
+    round-1 hardcoded the name-default lr on the sparse side."""
+    x, y, cols = _data()
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("sgd", "binary_crossentropy", learning_rate=0.05,
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_sparse_adam_exact_when_all_rows_touched():
+    """Lazy adam == dense adam exactly while every row is touched every
+    step (per-row t equals the global step count, no skipped moment
+    decay). ids cycle so each 64-batch covers the whole vocab."""
+    N, V = 256, 8
+    rng = np.random.default_rng(0)
+    x = {"c0": np.arange(N) % V, "d0": rng.random(N)}
+    y = ((np.arange(N) % V) % 2).astype(np.float64)
+    cols = [SparseFeat("c0", V, 4), DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=3e-5)
+
+
+def test_sparse_adam_untouched_rows_frozen():
+    rng = np.random.default_rng(0)
+    N = 256
+    x = {"c0": rng.integers(0, 500, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 1000, 4)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+               l2_reg_embedding=0, l2_reg_linear=0)
+    m.compile("adam", "binary_crossentropy", sparse_table_updates=True)
+    before = np.asarray(m.params["embedding_dict"]["c0"][500:]).copy()
+    m.fit(x, y, batch_size=64, epochs=3, verbose=0)
+    after = np.asarray(m.params["embedding_dict"]["c0"][500:])
+    np.testing.assert_array_equal(before, after)
+
+
+def test_sparse_with_varlen_zero_mask():
+    """The proxy-id rewrite must preserve `id != 0` varlen masking:
+    proxy == 0 iff id == 0 (row 0 is pinned to slot 0)."""
+    from deepctr_tpu.features import VarLenSparseFeat
+    rng = np.random.default_rng(0)
+    N, V, maxlen = 256, 40, 5
+    seq = rng.integers(1, V, (N, maxlen))
+    lens = rng.integers(1, maxlen + 1, N)
+    seq[np.arange(maxlen)[None, :] >= lens[:, None]] = 0
+    x = {"c0": rng.integers(0, 30, N), "seq": seq}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 30, 4),
+            VarLenSparseFeat(SparseFeat("seq", V, 4), maxlen=maxlen,
+                             combiner="mean")]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_sparse_packed_fused_matches_dense(monkeypatch):
+    """A packed+fused big table (single consumer per span thanks to
+    wide-column fusion) on the active-rows path must match the dense
+    trajectory exactly (reg off)."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        if sparse:
+            paths = [s[0] for s in m._sparse_specs]
+            assert paths == ["embedding_dict/big"], paths
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_sparse_true_with_optax_instance_warns_and_falls_back():
+    import optax
+    import warnings as _w
+    x, y, cols = _data()
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    with pytest.warns(UserWarning, match="falling back to DENSE"):
+        m.compile(optax.sgd(0.01), "binary_crossentropy",
+                  sparse_table_updates=True)
+    assert m._sparse_specs == []
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_sparse_contested_span_falls_back_dense():
+    """When one id span genuinely feeds two table params (vocab-mismatched
+    shared name prevents fusion), every table on that span must stay on
+    the dense path — rewriting the span for one would corrupt the other's
+    ids — and a warning says so."""
+    rng = np.random.default_rng(0)
+    N = 256
+    x = {"a": rng.integers(0, 50, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    lin_cols = [SparseFeat("a", 100, 4), DenseFeat("d0", 1)]
+    dnn_cols = [SparseFeat("a", 50, 4), DenseFeat("d0", 1)]
+    m = DeepFM(lin_cols, dnn_cols, dnn_hidden_units=(8,))
+    with pytest.warns(UserWarning, match="share id columns"):
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=True)
+    assert m._sparse_specs == []
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)

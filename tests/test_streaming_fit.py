@@ -51,3 +51,64 @@ def test_stream_with_validation_and_steps_cap():
               steps_per_epoch=4, validation_data=(x, y))
     assert len(h.history["val_auc"]) == 8
     assert h.history["val_auc"][-1] > 0.9
+
+
+def test_device_resident_fit_matches_host_fit():
+    """fit(x=jax.Array) runs whole epochs inside one jitted fori_loop;
+    with shuffle=False and no dropout the trajectory must equal the
+    per-batch host loop exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.default_rng(0)
+    N = 200   # deliberately not a multiple of batch_size -> padded batch
+    x = {"c0": rng.integers(0, 50, N), "c1": rng.integers(0, 30, N),
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 50, 4), SparseFeat("c1", 30, 4),
+            DenseFeat("d0", 1)]
+
+    def build():
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+        m.compile("adagrad", "binary_crossentropy", metrics=["auc"])
+        return m
+
+    m1 = build()
+    h1 = m1.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+
+    m2 = build()
+    Xd = m2.assemble_device_input(x)
+    h2 = m2.fit(Xd, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+
+    np.testing.assert_allclose(m1.predict(x, 64), m2.predict(x, 64),
+                               atol=1e-6)
+    np.testing.assert_allclose(h1.history["loss"], h2.history["loss"],
+                               rtol=1e-5)
+    # device predict path agrees with host predict path
+    np.testing.assert_allclose(m2.predict(Xd, 64), m2.predict(x, 64),
+                               atol=1e-7)
+
+
+def test_device_resident_fit_validation_and_callbacks():
+    import numpy as np
+    from deepctr_tpu.callbacks import EarlyStopping
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.default_rng(1)
+    N = 256
+    x = {"c0": rng.integers(0, 50, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 50, 4)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m.compile("adam", "binary_crossentropy", metrics=["auc"])
+    Xd = m.assemble_device_input(x)
+    es = EarlyStopping(monitor="val_auc", patience=1, mode="max")
+    h = m.fit(Xd, y, batch_size=64, epochs=4, verbose=0,
+              validation_split=0.25, callbacks=[es])
+    # train metrics are gated on verbose>0 (reference parity); val metrics
+    # always flow to History for callback monitoring
+    assert "val_auc" in h.history
+    assert len(h.history["loss"]) <= 4
