@@ -83,3 +83,52 @@ def test_din_under_mesh():
     model.fit(x, y, batch_size=8, epochs=1, verbose=0)
     pred = model.predict(x, 8)
     assert pred.shape == (4, 1) and np.all(np.isfinite(pred))
+
+
+def test_mesh_sparse_packed_matches_single_device(monkeypatch):
+    """The hard combination (VERDICT r1 #5): row-sharded mesh x
+    active-rows sparse updates x packed storage must equal the
+    single-device dense run — sharding and the sparse step are layout /
+    scheduling choices, not math changes."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 1024)
+    rng = np.random.default_rng(0)
+    N, V = 128, 4096
+    x = {"big": rng.integers(0, V, N), "small": rng.integers(0, 10, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    from deepctr_tpu.features import SparseFeat
+    cols = [SparseFeat("big", V, 16), SparseFeat("small", 10, 16)]
+
+    def run(mesh, shard, sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                   shard_embeddings=shard, l2_reg_embedding=0,
+                   l2_reg_linear=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        if sparse:
+            assert m._sparse_specs, "expected active-rows path"
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 32)
+
+    p_ref = run(None, False, False)
+    p_mesh = run(make_mesh((4, 2)), True, True)
+    assert np.allclose(p_ref, p_mesh, atol=1e-4), np.abs(p_ref - p_mesh).max()
+
+
+def test_mesh_sparse_adam_runs(monkeypatch):
+    """Lazy-adam table state (m/v/t dicts) must shard/replicate cleanly
+    over the mesh and train finitely."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 1024)
+    rng = np.random.default_rng(0)
+    N, V = 128, 2048
+    x = {"big": rng.integers(0, V, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    from deepctr_tpu.features import SparseFeat
+    cols = [SparseFeat("big", V, 16)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+               mesh=make_mesh((4, 2)), shard_embeddings=True)
+    m.compile("adam", "binary_crossentropy", sparse_table_updates=True)
+    m.fit(x, y, batch_size=32, epochs=2, verbose=0)
+    p = m.predict(x, 32)
+    assert np.all(np.isfinite(p))
