@@ -97,9 +97,16 @@ def bench_model(model_cls, **kwargs):
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def log(msg):
+        if os.environ.get("BENCH_VERBOSE"):
+            print(msg, file=sys.stderr, flush=True)
+
+    log("compiling n=1 ...")
     run(model.params, model.opt_state, model.table_state,
         model.batch_stats, 1).item()  # warm
+    log("timing n=1 ...")
     t1 = timed(1)
+    log("timing n=%d ..." % (STEPS + 1))
     tn = timed(STEPS + 1)
     dt = (tn - t1) / STEPS
     return BATCH / dt
