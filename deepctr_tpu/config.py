@@ -49,3 +49,37 @@ def use_pallas_explicit():
     used by ops whose kernels win isolated but lose inside the fused
     train step (see ops/dispatch.py)."""
     return _USE_PALLAS is True
+
+
+# --------------------------------------------------------------------------
+# Sharded-embedding lookup exchange (mesh runs only).
+#   "gspmd" — default: plain gather, XLA's sharding propagation inserts
+#             the exchange it derives from the table/batch shardings.
+#   "psum"  — explicit shard_map: every shard gathers its own rows,
+#             one all-reduce over the 'model' axis (parallel/embedding.py).
+#   "a2a"   — explicit shard_map all_to_all routing with static capacity
+#             ceil(B/M)*slack; ids beyond a bucket's capacity DROP to zero
+#             rows (loud counting available via a2a_lookup directly).
+# --------------------------------------------------------------------------
+_EMBEDDING_EXCHANGE = "gspmd"
+_EXCHANGE_MESH = None
+_A2A_SLACK = 2.0
+
+
+def set_embedding_exchange(mode, mesh=None, a2a_slack=2.0):
+    """Select how row-sharded embedding lookups exchange rows on a mesh.
+
+    ``mesh`` is required for the explicit modes (shard_map needs it);
+    read at model TRACE time, so set this before the first fit/predict.
+    """
+    global _EMBEDDING_EXCHANGE, _EXCHANGE_MESH, _A2A_SLACK
+    assert mode in ("gspmd", "psum", "a2a")
+    if mode != "gspmd" and mesh is None:
+        raise ValueError("explicit exchange modes need the mesh")
+    _EMBEDDING_EXCHANGE = mode
+    _EXCHANGE_MESH = mesh
+    _A2A_SLACK = float(a2a_slack)
+
+
+def embedding_exchange():
+    return _EMBEDDING_EXCHANGE, _EXCHANGE_MESH, _A2A_SLACK

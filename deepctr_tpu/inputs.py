@@ -82,13 +82,33 @@ class EmbeddingDict(nn.Module):
         self.table_dims = dims
         self.table_packs = packs
         self.table_vocabs = vocabs
+        self.table_rows = {n: t.shape[0] for n, t in tables.items()}
+
+    def _gather(self, name, table, row_ids):
+        """Row gather, routed through the configured mesh exchange:
+        "gspmd" (default) is a plain take that XLA's sharding propagation
+        partitions; "psum"/"a2a" call the explicit shard_map exchanges
+        (deepctr_tpu/parallel/embedding.py) when the table divides the
+        'model' axis.  Exchanges apply only to the FULL declared table —
+        the active-rows train step substitutes small local slices
+        (basemodel._make_active_rows), which gather locally."""
+        from . import config
+        mode, mesh, slack = config.embedding_exchange()
+        if (mode != "gspmd" and mesh is not None
+                and table.shape[0] == self.table_rows[name]
+                and table.shape[0] % mesh.shape["model"] == 0):
+            from .parallel.embedding import a2a_lookup, psum_lookup
+            if mode == "psum":
+                return psum_lookup(mesh, table, row_ids)
+            return a2a_lookup(mesh, table, row_ids, slack=slack)
+        return jnp.take(table, row_ids, axis=0)
 
     def _rows(self, name, ids):
         """Gather full-width rows (incl. any wide column)."""
         table = self.tables[name]
         pack = self.table_packs.get(name)
         if pack is None:
-            return jnp.take(table, ids, axis=0)
+            return self._gather(name, table, ids)
         dim = self.table_dims[name]
         width = dim + 1 if name in self.wide_names else dim
         from . import config
@@ -103,7 +123,7 @@ class EmbeddingDict(nn.Module):
             rows = gather_rows_packed(table, flat, width, pack)
         else:
             n = flat.shape[0]
-            rows128 = jnp.take(table, flat // pack, axis=0)   # [n, 128]
+            rows128 = self._gather(name, table, flat // pack) # [n, 128]
             used = (rows128[:, :pack * width] if pack * width < 128
                     else rows128)
             rows3 = used.reshape(n, pack, width)

@@ -132,3 +132,36 @@ def test_mesh_sparse_adam_runs(monkeypatch):
     m.fit(x, y, batch_size=32, epochs=2, verbose=0)
     p = m.predict(x, 32)
     assert np.all(np.isfinite(p))
+
+
+@pytest.mark.parametrize("mode", ["psum", "a2a"])
+def test_explicit_exchange_matches_gspmd(mode):
+    """The explicit shard_map lookup exchanges, selected via
+    config.set_embedding_exchange, must reproduce the GSPMD-propagated
+    run bit-for-bit-ish through training AND inference."""
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    rng = np.random.default_rng(0)
+    N = 128
+    x = {"c0": rng.integers(0, 64, N), "c1": rng.integers(0, 32, N),
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 64, 8), SparseFeat("c1", 32, 8),
+            DenseFeat("d0", 1)]
+    mesh = make_mesh((4, 2))
+
+    def run():
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                   shard_embeddings=True)
+        m.compile("adagrad", "binary_crossentropy")
+        m.fit(x, y, batch_size=32, epochs=1, verbose=0, shuffle=False)
+        return m.predict(x, 32)
+
+    try:
+        dc_config.set_embedding_exchange("gspmd")
+        p_ref = run()
+        dc_config.set_embedding_exchange(mode, mesh, a2a_slack=8.0)
+        p = run()
+    finally:
+        dc_config.set_embedding_exchange("gspmd")
+    assert np.allclose(p_ref, p, atol=1e-5), np.abs(p_ref - p).max()
