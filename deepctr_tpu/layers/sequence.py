@@ -88,6 +88,32 @@ class AttentionSequencePoolingLayer(nn.Module):
             hidden_units=self.att_hidden_units,
             activation=self.att_activation,
             name="local_att")(query, keys, training)            # [B,T,1]
+
+        # inference dispatch: the fused Pallas kernel computes the whole
+        # readout (MLP scores + mask + softmax + weighted sum) in one
+        # pass; the scores computed above are then dead code that XLA
+        # eliminates.  Training keeps the jnp composition (autodiff).
+        if (not training and not self.return_score
+                and not self.is_initializing()):
+            from .. import config
+            from ..ops.pallas_attention import (
+                din_attention_fused, din_attention_fused_supported)
+            if (config.use_pallas()
+                    and din_attention_fused_supported(
+                        query, keys, self.att_hidden_units,
+                        self.att_activation)):
+                p = self.variables["params"]["local_att"]
+                layer_params = [
+                    (p["dnn"]["dense_%d" % i]["kernel"],
+                     p["dnn"]["dense_%d" % i]["bias"])
+                    for i in range(len(self.att_hidden_units))]
+                layer_params.append(
+                    (p["dense"]["kernel"], p["dense"]["bias"]))
+                mask2 = keys_masks[:, 0, :]
+                return din_attention_fused(
+                    query, keys, mask2, layer_params,
+                    self.att_activation, self.weight_normalization)
+
         outputs = jnp.transpose(scores, (0, 2, 1))              # [B,1,T]
         return din_attention(outputs, keys, keys_masks,
                              self.weight_normalization, self.return_score)

@@ -1,0 +1,154 @@
+"""Fused Pallas row-update (RMW) kernel for the active-rows train step.
+
+XLA's scatter runs at ~8 GB/s on big tables (measured, tools/
+scatter_micro.py) — row-at-a-time and unpipelined — while row-gather DMAs
+sustain tens of GB/s.  At vocab 1M the active-rows step spends ~16 of
+19 ms in its 2 gathers + 2 scatters per table.  This kernel fuses the
+WHOLE per-table update into one pass over the touched rows:
+
+    read w[row] (, read acc[row])        windowed async row DMAs
+    g' = g + 2*l2*w                      lazy L2 on touched rows
+    adagrad:  acc' = acc + g'^2 ;  w' = w - lr * g' * rsqrt(acc' + eps)
+    sgd:                           w' = w - lr * g'
+    write w[row] (, write acc[row])
+
+Rows are the transform's dedup output: sorted, unique, VALID-PREFIX (the
+first ``n_valid`` entries are in-bounds; the tail is out-of-bounds
+padding) — the kernel loops j < n_valid per block, so no per-row
+masking, no in-kernel iota (a documented Mosaic miscompile), and no
+possibility of a padding write landing in the table.
+
+Tables are updated in place via input_output_aliases (the train step
+donates params/table_state).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS_PER_STEP = 1024
+_WINDOW = 16
+
+
+def _make_kernel(lr, eps, adagrad):
+    def kernel(rows_smem, nvalid_smem, g_ref, l2_ref, *refs):
+        if adagrad:
+            _w_in, _a_in, w_out, a_out, w_scr, a_scr, sems = refs
+        else:
+            _w_in, w_out, w_scr, sems = refs
+            a_out = a_scr = None
+        base = pl.program_id(0) * _ROWS_PER_STEP
+        count = jnp.clip(nvalid_smem[0] - base, 0, _ROWS_PER_STEP)
+
+        def rd(j):
+            copies = [pltpu.make_async_copy(
+                w_out.at[pl.ds(rows_smem[base + j], 1), :],
+                w_scr.at[pl.ds(j, 1), :], sems.at[0, j % _WINDOW])]
+            if adagrad:
+                copies.append(pltpu.make_async_copy(
+                    a_out.at[pl.ds(rows_smem[base + j], 1), :],
+                    a_scr.at[pl.ds(j, 1), :], sems.at[1, j % _WINDOW]))
+            return copies
+
+        def wr(j):
+            copies = [pltpu.make_async_copy(
+                w_scr.at[pl.ds(j, 1), :],
+                w_out.at[pl.ds(rows_smem[base + j], 1), :],
+                sems.at[2, j % _WINDOW])]
+            if adagrad:
+                copies.append(pltpu.make_async_copy(
+                    a_scr.at[pl.ds(j, 1), :],
+                    a_out.at[pl.ds(rows_smem[base + j], 1), :],
+                    sems.at[3, j % _WINDOW]))
+            return copies
+
+        def phase(make):
+            def warm(j, _):
+                for c in make(j):
+                    c.start()
+                return 0
+
+            def drain(j, _):
+                for c in make(j):
+                    c.wait()
+                @pl.when(j + _WINDOW < count)
+                def _():
+                    for c in make(j + _WINDOW):
+                        c.start()
+                return 0
+
+            jax.lax.fori_loop(0, jnp.minimum(count, _WINDOW), warm, 0)
+            jax.lax.fori_loop(0, count, drain, 0)
+
+        phase(rd)
+
+        g = g_ref[:].astype(jnp.float32)
+        w = w_scr[:]
+        g = g + 2.0 * l2_ref[:] * w
+        if adagrad:
+            a = a_scr[:] + g * g
+            a_scr[:] = a
+            w_scr[:] = w - lr * g * jax.lax.rsqrt(a + eps)
+        else:
+            w_scr[:] = w - lr * g
+
+        phase(wr)
+
+    return kernel
+
+
+def row_update_supported(w, g, rows):
+    return (w.ndim == 2 and w.shape[1] == 128 and w.dtype == jnp.float32
+            and g.shape[1] == 128 and rows.ndim == 1
+            and rows.shape[0] == g.shape[0]
+            and rows.shape[0] % _ROWS_PER_STEP == 0)
+
+
+def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10):
+    """Fused touched-rows update; ``acc=None`` selects sgd, else adagrad.
+
+    w (, acc): [R, 128] float32; g: [n, 128] gradient rows; rows: [n]
+    int32 sorted unique, first ``n_valid`` in-bounds; l2_vec: [128]
+    per-lane lazy-L2 strengths.  Returns (new_w, new_acc_or_None) — the
+    same buffers, updated in place via aliasing when donated.
+    """
+    adagrad = acc is not None
+    n = g.shape[0]
+    grid = (n // _ROWS_PER_STEP,)
+    kernel = _make_kernel(float(lr), float(eps), adagrad)
+    l2 = jnp.broadcast_to(l2_vec.astype(jnp.float32), (1, 128))
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+
+    tensor_ins = [w, acc] if adagrad else [w]
+    # operand order incl. scalar prefetch: 0=rows 1=nvalid 2=g 3=l2
+    # then the tables; alias tables onto outputs (in-place)
+    aliases = {4: 0, 5: 1} if adagrad else {4: 0}
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROWS_PER_STEP, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # g
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # l2
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(tensor_ins),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(tensor_ins),
+        scratch_shapes=(
+            [pltpu.VMEM((_ROWS_PER_STEP, 128), jnp.float32)]
+            * (2 if adagrad else 1)
+            + [pltpu.SemaphoreType.DMA((4, _WINDOW))]),
+    )
+    out_shape = [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tensor_ins]
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rows, nv, g.astype(jnp.float32), l2, *tensor_ins)
+    if adagrad:
+        return outs[0], outs[1]
+    return outs[0], None

@@ -1,0 +1,76 @@
+"""Golden tests: fused Pallas row-update kernel vs the jnp update math
+(interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from deepctr_tpu.ops.pallas_update import fused_row_update, _ROWS_PER_STEP
+
+
+def _setup(R=4096, n=_ROWS_PER_STEP * 2, n_valid=1500, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.normal(size=(R, 128)), jnp.float32)
+    acc = jnp.asarray(rng.random((R, 128)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(n, 128)), jnp.float32)
+    rows_valid = np.sort(rng.choice(R, n_valid, replace=False))
+    rows = np.concatenate([rows_valid, R + np.arange(n - n_valid)])
+    l2 = jnp.asarray(rng.random(128) * 0.1, jnp.float32)
+    return w, acc, g, jnp.asarray(rows, jnp.int32), n_valid, l2
+
+
+def _ref(w, acc, g, rows, n_valid, l2, lr, eps, adagrad):
+    w = np.asarray(w).copy()
+    acc = np.asarray(acc).copy() if acc is not None else None
+    g = np.asarray(g)
+    l2 = np.asarray(l2)
+    for j in range(n_valid):
+        r = int(rows[j])
+        gj = g[j] + 2.0 * l2 * w[r]
+        if adagrad:
+            acc[r] = acc[r] + gj * gj
+            w[r] = w[r] - lr * gj / np.sqrt(acc[r] + eps)
+        else:
+            w[r] = w[r] - lr * gj
+    return w, acc
+
+
+@pytest.mark.parametrize("n_valid", [1500, _ROWS_PER_STEP * 2, 7])
+def test_fused_update_adagrad_matches_ref(n_valid):
+    w, acc, g, rows, _, l2 = _setup(n_valid=n_valid)
+    lr, eps = 0.05, 1e-10
+    ref_w, ref_acc = _ref(w, acc, g, rows, n_valid, l2, lr, eps, True)
+    with pltpu.force_tpu_interpret_mode():
+        new_w, new_acc = fused_row_update(w, acc, g, rows, n_valid, l2,
+                                          lr, eps)
+    np.testing.assert_allclose(np.asarray(new_w), ref_w, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_acc), ref_acc, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_fused_update_sgd_matches_ref():
+    w, acc, g, rows, n_valid, l2 = _setup()
+    lr = 0.01
+    ref_w, _ = _ref(w, None, g, rows, n_valid, l2, lr, 0, False)
+    with pltpu.force_tpu_interpret_mode():
+        new_w, none = fused_row_update(w, None, g, rows, n_valid, l2, lr)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(new_w), ref_w, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_untouched_rows_identical():
+    w, acc, g, rows, n_valid, l2 = _setup()
+    touched = set(np.asarray(rows[:n_valid]).tolist())
+    with pltpu.force_tpu_interpret_mode():
+        new_w, new_acc = fused_row_update(w, acc, g, rows, n_valid, l2,
+                                          0.05)
+    untouched = np.asarray([r for r in range(w.shape[0])
+                            if r not in touched])
+    np.testing.assert_array_equal(np.asarray(new_w)[untouched],
+                                  np.asarray(w)[untouched])
+    np.testing.assert_array_equal(np.asarray(new_acc)[untouched],
+                                  np.asarray(acc)[untouched])
