@@ -499,7 +499,15 @@ class BaseModel(object):
                     [X[:, s:e].astype(jnp.int32).reshape(-1)
                      for s, e in spans])
                 ids = jnp.concatenate([jnp.zeros((1,), jnp.int32), ids])
-                items.append((path, spans, n_rows, pack, ids))
+                # pad the id vector to a 1024 multiple so the fused
+                # Pallas row-update kernel (block size 1024) applies;
+                # pads carry the single out-of-bounds row `n_rows*pack`
+                # (one extra dedup slot, dropped by every scatter)
+                pad = (-ids.shape[0]) % 1024
+                if pad:
+                    ids = jnp.concatenate(
+                        [ids, jnp.full((pad,), n_rows * pack, jnp.int32)])
+                items.append((path, spans, n_rows, pack, ids, pad))
             by_n = {}
             for item in items:
                 by_n.setdefault(int(item[4].shape[0]), []).append(item)
@@ -508,7 +516,7 @@ class BaseModel(object):
                 G = len(group)
                 rows_mat = jnp.stack(
                     [ids // pack if pack > 1 else ids
-                     for _, _, _, pack, ids in group])          # [G, n]
+                     for _, _, _, pack, ids, _ in group])       # [G, n]
                 iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                                         (G, n))
                 sorted_rows, order = jax.lax.sort(
@@ -535,8 +543,13 @@ class BaseModel(object):
                     jnp.arange(n)[None, :] < n_unique, urows_mat,
                     sentinel + jnp.arange(n, dtype=jnp.int32)[None, :])
 
-                for g, (path, spans, n_rows, pack, ids) in enumerate(group):
+                for g, (path, spans, n_rows, pack, ids,
+                        pad) in enumerate(group):
                     urows = scatter_mat[g]
+                    # valid-prefix length for the fused update kernel:
+                    # the padding ids dedup into exactly one extra
+                    # (out-of-bounds) slot when present
+                    n_valid = n_unique[g, 0] - (1 if pad else 0)
                     w = _get_path(params, path)
                     # clip maps padding rows onto the last row (harmless:
                     # nothing reads their slice values); post-clip indices
@@ -555,7 +568,7 @@ class BaseModel(object):
                         off += X.shape[0] * width
                         X = X.at[:, s:e].set(
                             chunk.reshape(X.shape[0], width).astype(X.dtype))
-                    aux[path] = urows
+                    aux[path] = (urows, n_valid)
             return params, X, aux
 
         def _get_rows(arr, rows):
@@ -570,11 +583,30 @@ class BaseModel(object):
                                     unique_indices=True)
 
         def row_update(params, table_state, grads, aux):
+            from .. import config as dc_config
+            from ..ops.pallas_update import (fused_row_update,
+                                             row_update_supported)
             new_state = dict(table_state)
             for path, spans, n_rows, pack, l2_vec in specs:
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
-                rows = aux[path]
+                rows, n_valid = aux[path]
+                if (dc_config.use_pallas()
+                        and opt_name in ("sgd", "adagrad")
+                        and row_update_supported(w, g, rows)):
+                    # fused RMW kernel: one windowed-DMA pass over the
+                    # touched rows (XLA's scatter measured ~8GB/s; the
+                    # kernel is bit-exact vs the path below — see
+                    # tools/update_micro.py)
+                    acc = table_state[path] if opt_name == "adagrad" \
+                        else None
+                    new_w, new_acc = fused_row_update(
+                        w, acc, g, rows, n_valid, l2_vec, lr,
+                        _ADAGRAD_EPS)
+                    if new_acc is not None:
+                        new_state[path] = new_acc
+                    params = _set_path(params, path, new_w)
+                    continue
                 w_rows = _get_rows(w, rows)
                 # lazy L2: regularize exactly the touched rows
                 g = g + 2.0 * l2_vec[None, :] * w_rows

@@ -74,3 +74,41 @@ def test_untouched_rows_identical():
                                   np.asarray(w)[untouched])
     np.testing.assert_array_equal(np.asarray(new_acc)[untouched],
                                   np.asarray(acc)[untouched])
+
+
+def test_end_to_end_training_with_kernel_matches_jnp(monkeypatch):
+    """A full fit() with the fused update kernel active (interpret mode,
+    packed table so width==128) must match the jnp row-update path."""
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu import inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    from deepctr_tpu.models import DeepFM
+
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 512)
+    rng = np.random.default_rng(0)
+    N, V = 128, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(pallas):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=True)
+        assert m._sparse_specs
+        try:
+            if pallas:
+                dc_config.set_use_pallas(True)
+                with pltpu.force_tpu_interpret_mode():
+                    m.fit(x, y, batch_size=64, epochs=1, verbose=0,
+                          shuffle=False)
+            else:
+                m.fit(x, y, batch_size=64, epochs=1, verbose=0,
+                      shuffle=False)
+        finally:
+            dc_config.set_use_pallas("auto")
+        return np.asarray(m.params["embedding_dict"]["big"])
+
+    w_jnp = run(False)
+    w_kernel = run(True)
+    np.testing.assert_allclose(w_kernel, w_jnp, atol=1e-6)

@@ -5,6 +5,9 @@ import functools
 import json
 import time
 
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
