@@ -568,7 +568,7 @@ class BaseModel(object):
                         off += X.shape[0] * width
                         X = X.at[:, s:e].set(
                             chunk.reshape(X.shape[0], width).astype(X.dtype))
-                    aux[path] = (urows, n_valid)
+                    aux[path] = (urows, n_valid, small)
             return params, X, aux
 
         def _get_rows(arr, rows):
@@ -590,24 +590,25 @@ class BaseModel(object):
             for path, spans, n_rows, pack, l2_vec in specs:
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
-                rows, n_valid = aux[path]
+                rows, n_valid, w_rows_cached = aux[path]
                 if (dc_config.use_pallas()
                         and opt_name in ("sgd", "adagrad")
                         and row_update_supported(w, g, rows)):
                     # fused RMW kernel: one windowed-DMA pass over the
                     # touched rows (XLA's scatter measured ~8GB/s; the
                     # kernel is bit-exact vs the path below — see
-                    # tools/update_micro.py)
+                    # tools/update_micro.py); the transform's gather
+                    # provides the old row values (no per-row w read)
                     acc = table_state[path] if opt_name == "adagrad" \
                         else None
                     new_w, new_acc = fused_row_update(
                         w, acc, g, rows, n_valid, l2_vec, lr,
-                        _ADAGRAD_EPS)
+                        _ADAGRAD_EPS, w_rows=w_rows_cached)
                     if new_acc is not None:
                         new_state[path] = new_acc
                     params = _set_path(params, path, new_w)
                     continue
-                w_rows = _get_rows(w, rows)
+                w_rows = w_rows_cached.astype(jnp.float32)
                 # lazy L2: regularize exactly the touched rows
                 g = g + 2.0 * l2_vec[None, :] * w_rows
                 if opt_name == "adagrad":

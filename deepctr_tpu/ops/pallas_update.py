@@ -6,11 +6,17 @@ sustain tens of GB/s.  At vocab 1M the active-rows step spends ~16 of
 19 ms in its 2 gathers + 2 scatters per table.  This kernel fuses the
 WHOLE per-table update into one pass over the touched rows:
 
-    read w[row] (, read acc[row])        windowed async row DMAs
+    (read acc[row])                      windowed async row DMAs
     g' = g + 2*l2*w                      lazy L2 on touched rows
     adagrad:  acc' = acc + g'^2 ;  w' = w - lr * g' * rsqrt(acc' + eps)
     sgd:                           w' = w - lr * g'
     write w[row] (, write acc[row])
+
+The OLD weight rows are NOT re-read from HBM: the active-rows transform
+already gathered them (the substituted ``small`` slice) and passes them
+in as a VMEM operand — DMA issue rate is the bottleneck (window depth 8
+vs 64 measured identical), so every skipped per-row DMA is ~25%% of the
+kernel.  adagrad: 3 DMAs/row; sgd: 1.
 
 Rows are the transform's dedup output: sorted, unique, VALID-PREFIX (the
 first ``n_valid`` entries are in-bounds; the tail is out-of-bounds
@@ -29,12 +35,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
 _ROWS_PER_STEP = 1024
-_WINDOW = 16
+_WINDOW = int(_os.environ.get("DEEPCTR_UPDATE_WINDOW", "16"))
 
 
 def _make_kernel(lr, eps, adagrad):
-    def kernel(rows_smem, nvalid_smem, g_ref, l2_ref, *refs):
+    def kernel(rows_smem, nvalid_smem, g_ref, l2_ref, wrows_ref, *refs):
         if adagrad:
             _w_in, _a_in, w_out, a_out, w_scr, a_scr, sems = refs
         else:
@@ -44,14 +51,9 @@ def _make_kernel(lr, eps, adagrad):
         count = jnp.clip(nvalid_smem[0] - base, 0, _ROWS_PER_STEP)
 
         def rd(j):
-            copies = [pltpu.make_async_copy(
-                w_out.at[pl.ds(rows_smem[base + j], 1), :],
-                w_scr.at[pl.ds(j, 1), :], sems.at[0, j % _WINDOW])]
-            if adagrad:
-                copies.append(pltpu.make_async_copy(
-                    a_out.at[pl.ds(rows_smem[base + j], 1), :],
-                    a_scr.at[pl.ds(j, 1), :], sems.at[1, j % _WINDOW]))
-            return copies
+            return [pltpu.make_async_copy(
+                a_out.at[pl.ds(rows_smem[base + j], 1), :],
+                a_scr.at[pl.ds(j, 1), :], sems.at[1, j % _WINDOW])]
 
         def wr(j):
             copies = [pltpu.make_async_copy(
@@ -83,11 +85,12 @@ def _make_kernel(lr, eps, adagrad):
             jax.lax.fori_loop(0, jnp.minimum(count, _WINDOW), warm, 0)
             jax.lax.fori_loop(0, count, drain, 0)
 
-        phase(rd)
+        if adagrad:
+            phase(rd)
 
         g = g_ref[:].astype(jnp.float32)
-        w = w_scr[:]
-        g = g + 2.0 * l2_ref[:] * w
+        w = wrows_ref[:].astype(jnp.float32)   # old rows, gathered by the
+        g = g + 2.0 * l2_ref[:] * w            # transform (no HBM re-read)
         if adagrad:
             a = a_scr[:] + g * g
             a_scr[:] = a
@@ -107,15 +110,20 @@ def row_update_supported(w, g, rows):
             and rows.shape[0] % _ROWS_PER_STEP == 0)
 
 
-def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10):
+def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10,
+                     w_rows=None):
     """Fused touched-rows update; ``acc=None`` selects sgd, else adagrad.
 
     w (, acc): [R, 128] float32; g: [n, 128] gradient rows; rows: [n]
     int32 sorted unique, first ``n_valid`` in-bounds; l2_vec: [128]
-    per-lane lazy-L2 strengths.  Returns (new_w, new_acc_or_None) — the
-    same buffers, updated in place via aliasing when donated.
+    per-lane lazy-L2 strengths; w_rows: [n, 128] the CURRENT values of
+    ``w`` at ``rows`` (from the transform's gather — skips a per-row
+    read).  Returns (new_w, new_acc_or_None) — the same buffers, updated
+    in place via aliasing when donated.
     """
     adagrad = acc is not None
+    if w_rows is None:
+        w_rows = w.at[rows].get(mode="clip", indices_are_sorted=True)
     n = g.shape[0]
     grid = (n // _ROWS_PER_STEP,)
     kernel = _make_kernel(float(lr), float(eps), adagrad)
@@ -124,8 +132,8 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10):
 
     tensor_ins = [w, acc] if adagrad else [w]
     # operand order incl. scalar prefetch: 0=rows 1=nvalid 2=g 3=l2
-    # then the tables; alias tables onto outputs (in-place)
-    aliases = {4: 0, 5: 1} if adagrad else {4: 0}
+    # 4=w_rows then the tables; alias tables onto outputs (in-place)
+    aliases = {5: 0, 6: 1} if adagrad else {5: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
@@ -134,6 +142,8 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10):
                          memory_space=pltpu.VMEM),          # g
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # l2
+            pl.BlockSpec((_ROWS_PER_STEP, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # w_rows
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(tensor_ins),
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(tensor_ins),
         scratch_shapes=(
@@ -148,7 +158,8 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10):
         out_shape=out_shape,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, nv, g.astype(jnp.float32), l2, *tensor_ins)
+    )(rows, nv, g.astype(jnp.float32), l2, w_rows.astype(jnp.float32),
+      *tensor_ins)
     if adagrad:
         return outs[0], outs[1]
     return outs[0], None
