@@ -59,11 +59,17 @@ def _device_batch(key, input_dim, feature_index):
     return X, y, sw
 
 
-def bench_model(model_cls, **kwargs):
+def bench_model(model_cls, vocab=None, steps=None, want_cost=False,
+                **kwargs):
     from deepctr_tpu import config as dc_config
     import jax
     import jax.numpy as jnp
 
+    global VOCAB, STEPS
+    if vocab is not None:
+        VOCAB = vocab
+    if steps is not None:
+        STEPS = steps
     dc_config.set_compute_dtype("bfloat16")
     cols = _columns()
     model = model_cls(cols, cols, **kwargs)
@@ -157,12 +163,32 @@ def main():
             ref_eps = bench_reference()
         except Exception:
             pass
-    print(json.dumps({
+    record = {
         "metric": "deepfm_criteo_train_throughput",
         "value": round(eps, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(eps / ref_eps, 2),
-    }))
+    }
+    # secondary configs (VERDICT r1 #7: all headline configs in the bench
+    # record): production big-vocab DeepFM (active-rows sparse step) and
+    # xDeepFM.  BENCH_EXTRAS=0 skips them (each costs a fresh compile).
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        extras = {}
+        try:
+            extras["deepfm_vocab1m_eps"] = round(bench_model(
+                DeepFM, vocab=1_000_000, steps=30,
+                dnn_hidden_units=HIDDEN), 1)
+        except Exception as e:   # record the failure, don't lose the run
+            extras["deepfm_vocab1m_eps"] = "error: %s" % e
+        try:
+            extras["xdeepfm_eps"] = round(bench_model(
+                xDeepFM, vocab=10_000, steps=30,
+                dnn_hidden_units=(400, 400),
+                cin_layer_size=(256, 128)), 1)
+        except Exception as e:
+            extras["xdeepfm_eps"] = "error: %s" % e
+        record["extras"] = extras
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

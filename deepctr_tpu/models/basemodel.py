@@ -836,7 +836,7 @@ class BaseModel(object):
             if callable(x):
                 return self._fit_stream(x, batch_size, epochs, verbose,
                                         initial_epoch, validation_data,
-                                        callbacks, steps_per_epoch)
+                                        callbacks, steps_per_epoch, shuffle)
             if isinstance(x, jax.Array):
                 return self._fit_device(x, y, batch_size, epochs, verbose,
                                         initial_epoch, validation_split,
@@ -977,14 +977,19 @@ class BaseModel(object):
 
     def _fit_stream(self, make_iter, batch_size, epochs, verbose,
                     initial_epoch, validation_data, callbacks,
-                    steps_per_epoch):
+                    steps_per_epoch, shuffle=True):
         """Chunked/streaming training: one pass over ``make_iter()`` per
-        epoch; each yielded (x_chunk, y_chunk) is assembled host-side and
-        consumed in fixed-shape ``batch_size`` steps."""
+        epoch; each yielded (x_chunk, y_chunk) is assembled host-side,
+        shuffled WITHIN the chunk (global shuffle of an out-of-core
+        dataset is the data pipeline's job), and consumed in fixed-shape
+        ``batch_size`` steps with the same per-batch semantics as
+        :meth:`_fit` (masked padding, per-batch train metrics when
+        verbose > 0)."""
         if batch_size is None:
             batch_size = 256
         self._ensure_compiled()
         base_rng = jax.random.PRNGKey(self.seed + 1)
+        rng_shuffle = np.random.default_rng(self.seed)
         callbacks = CallbackList((callbacks or []) + [self.history])
         callbacks.set_model(self)
         callbacks.on_train_begin()
@@ -994,11 +999,15 @@ class BaseModel(object):
             callbacks.on_epoch_begin(epoch)
             start_time = time.time()
             total_loss_epoch, sample_num, steps = 0.0, 0, 0
+            train_result = {}
             for x_chunk, y_chunk in make_iter():
                 X = self._assemble_x(x_chunk)
                 yc = np.asarray(y_chunk, dtype=np.float32)
                 if yc.ndim == 1:
                     yc = yc[:, None]
+                if shuffle:
+                    order = rng_shuffle.permutation(len(X))
+                    X, yc = X[order], yc[order]
                 for lo in range(0, len(X), batch_size):
                     if steps_per_epoch and steps >= steps_per_epoch:
                         break
@@ -1017,16 +1026,27 @@ class BaseModel(object):
                     xb, yb, swb = self._put_batch(xb, yb, sw)
                     (self.params, self.opt_state, self.table_state,
                      self.batch_stats, _, total_loss,
-                     _) = self._train_step(
+                     y_pred) = self._train_step(
                         self.params, self.opt_state, self.table_state,
                         self.batch_stats, rng, xb, yb, swb)
                     global_step += 1
                     steps += 1
                     sample_num += n_valid
                     total_loss_epoch += float(total_loss)
+                    if verbose > 0 and self.metrics:
+                        y_np = np.asarray(yb)[:n_valid]
+                        p_np = np.asarray(y_pred).astype(
+                            "float64")[:n_valid]
+                        if self.num_tasks == 1:
+                            y_np, p_np = y_np.reshape(-1), p_np.reshape(-1)
+                        for name, metric_fun in self.metrics.items():
+                            train_result.setdefault(name, []).append(
+                                metric_fun(y_np, p_np))
                 if steps_per_epoch and steps >= steps_per_epoch:
                     break
             epoch_logs = {"loss": total_loss_epoch / max(sample_num, 1)}
+            for name, result in train_result.items():
+                epoch_logs[name] = np.sum(result) / max(steps, 1)
             if validation_data:
                 val_x, val_y = validation_data[:2]
                 for name, result in self.evaluate(val_x, val_y,

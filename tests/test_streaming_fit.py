@@ -32,7 +32,7 @@ def test_stream_matches_in_memory():
 
     m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
     m2.compile("adam", "binary_crossentropy")
-    m2.fit(make_iter(), batch_size=64, epochs=2, verbose=0)
+    m2.fit(make_iter(), batch_size=64, epochs=2, verbose=0, shuffle=False)
 
     p1, p2 = m1.predict(x, 64), m2.predict(x, 64)
     np.testing.assert_allclose(p1, p2, atol=1e-5)

@@ -3,6 +3,7 @@ hinted-XLA gather/scatter composition (the current row_update path)."""
 
 import functools
 import json
+import os
 import time
 
 import sys, os
@@ -81,8 +82,10 @@ def main():
         print(json.dumps({"variant": tag, "ms": round(dt * 1e3, 3)}),
               flush=True)
 
+    w_rows_cache = jnp.asarray(rng.normal(size=(N, 128)), jnp.float32)
     bench(lambda w, a, gg: fused_row_update(w, a, gg, rows, NV, l2, LR,
-                                            EPS), "pallas_fused_26tables")
+                                            EPS, w_rows=w_rows_cache),
+          "pallas_fused_26tables_3dma")
 
     def xla_one(w, acc, gg):
         w_rows = w.at[rows].get(mode="clip", indices_are_sorted=True)
@@ -96,7 +99,8 @@ def main():
             mode="drop", indices_are_sorted=True, unique_indices=True)
         return (w, acc)
 
-    bench(xla_one, "xla_hinted_26tables")
+    if os.environ.get("MICRO_XLA"):
+        bench(xla_one, "xla_hinted_26tables")
 
 
 if __name__ == "__main__":
