@@ -364,8 +364,24 @@ class BaseModel(object):
         # dedup identical spans per table (a feature in both column lists)
         return {p: sorted(set(map(tuple, s))) for p, s in spans.items()}
 
+    def _use_combined_state(self, w):
+        """Adagrad sparse tables on the Pallas path store (w | acc) as ONE
+        [R, 256] buffer so the update kernel costs 1 read + 1 write DMA
+        per touched row (DMA issue rate is the measured bound —
+        tools/update_micro.py).  The params leaf then lags during
+        training and is re-synced from the combined buffer before any
+        read (predict/get_weights/checkpoint) — see _sync_params."""
+        from .. import config
+        return (getattr(w, "ndim", 0) == 2 and w.shape[1] == 128
+                and config.use_pallas()
+                and (self.mesh is None or not self.shard_embeddings))
+
     def _init_table_state(self, w):
         if self._optimizer_name == "adagrad":
+            if self._use_combined_state(w):
+                return {"combined": jnp.concatenate(
+                    [w.astype(jnp.float32),
+                     jnp.zeros(w.shape, jnp.float32)], axis=1)}
             return jnp.zeros(w.shape, jnp.float32)
         if self._optimizer_name == "adam":
             # lazy adam: per-row moments + per-row step count for bias
@@ -487,7 +503,7 @@ class BaseModel(object):
         opt_name = self._optimizer_name
         lr = self._learning_rate
 
-        def transform(params, X):
+        def transform(params, table_state, X):
             aux = {}
             # per-spec (packed-)row vectors, grouped by length so ALL
             # tables of a group dedup through ONE batched sort — 26
@@ -550,13 +566,23 @@ class BaseModel(object):
                     # the padding ids dedup into exactly one extra
                     # (out-of-bounds) slot when present
                     n_valid = n_unique[g, 0] - (1 if pad else 0)
-                    w = _get_path(params, path)
+                    st = table_state.get(path)
+                    combined = isinstance(st, dict) and "combined" in st
                     # clip maps padding rows onto the last row (harmless:
                     # nothing reads their slice values); post-clip indices
                     # are still sorted but no longer unique, so only the
                     # sorted promise is made here
-                    small = w.at[urows].get(
-                        mode="clip", indices_are_sorted=True)   # [n, width]
+                    if combined:
+                        # authoritative weights live in the (w | acc)
+                        # buffer; the params leaf lags during training
+                        small = st["combined"].at[urows].get(
+                            mode="clip",
+                            indices_are_sorted=True)[:, :128]
+                    else:
+                        w = _get_path(params, path)
+                        small = w.at[urows].get(
+                            mode="clip",
+                            indices_are_sorted=True)   # [n, width]
                     params = _set_path(params, path, small)
                     proxy = inv[g] * pack + ids % pack if pack > 1 \
                         else inv[g]
@@ -584,13 +610,26 @@ class BaseModel(object):
 
         def row_update(params, table_state, grads, aux):
             from .. import config as dc_config
-            from ..ops.pallas_update import (fused_row_update,
+            from ..ops.pallas_update import (combined_update_supported,
+                                             fused_row_update,
+                                             fused_row_update_combined,
                                              row_update_supported)
             new_state = dict(table_state)
             for path, spans, n_rows, pack, l2_vec in specs:
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
                 rows, n_valid, w_rows_cached = aux[path]
+                st = table_state.get(path)
+                if (isinstance(st, dict) and "combined" in st
+                        and combined_update_supported(st["combined"], g,
+                                                      rows)):
+                    # combined (w | acc) storage: one 1KB read + one 1KB
+                    # write DMA per touched row; params leaf stays stale
+                    # until _sync_params
+                    new_state[path] = {"combined": fused_row_update_combined(
+                        st["combined"], g, rows, n_valid, l2_vec, lr,
+                        _ADAGRAD_EPS)}
+                    continue
                 if (dc_config.use_pallas()
                         and opt_name in ("sgd", "adagrad")
                         and row_update_supported(w, g, rows)):
@@ -703,7 +742,7 @@ class BaseModel(object):
                 # and rewrite X's id columns to index the slice — autograd
                 # then never sees (or materializes a gradient for) the
                 # full table
-                params_in, X, row_aux = transform(params, X)
+                params_in, X, row_aux = transform(params, table_state, X)
             else:
                 params_in = params
 
@@ -950,6 +989,7 @@ class BaseModel(object):
              self.batch_stats, losses, preds) = run_epoch(
                 self.params, self.opt_state, self.table_state,
                 self.batch_stats, rng, X, y, sw)
+            self._mark_params_stale()
             epoch_logs = {
                 "loss": float(jnp.sum(losses)) / sample_num}
             if verbose > 0 and self.metrics:
@@ -1044,6 +1084,7 @@ class BaseModel(object):
                                 metric_fun(y_np, p_np))
                 if steps_per_epoch and steps >= steps_per_epoch:
                     break
+            self._mark_params_stale()
             epoch_logs = {"loss": total_loss_epoch / max(sample_num, 1)}
             for name, result in train_result.items():
                 epoch_logs[name] = np.sum(result) / max(steps, 1)
@@ -1174,6 +1215,7 @@ class BaseModel(object):
                 raise
             if hasattr(iterator, "close"):
                 iterator.close()
+            self._mark_params_stale()
 
             epoch_logs["loss"] = total_loss_epoch / sample_num
             for name, result in train_result.items():
@@ -1238,6 +1280,7 @@ class BaseModel(object):
         ``jax.Array`` (see :meth:`_fit_device`): batches are then sliced
         and padded on device and only predictions come back to the host.
         """
+        self._sync_params()
         on_device = isinstance(x, jax.Array)
         X = x if on_device else self._assemble_x(x)
         if on_device and (X.ndim != 2 or X.shape[1] != self.input_dim):
@@ -1267,11 +1310,34 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     # weights / persistence
     # ------------------------------------------------------------------
+    def _mark_params_stale(self):
+        """Called by the fit loops after training steps: combined-storage
+        tables update only their (w | acc) buffer, leaving the params
+        leaf lagging until the next _sync_params."""
+        if any(isinstance(self.table_state.get(spec[0]), dict)
+               and "combined" in self.table_state[spec[0]]
+               for spec in getattr(self, "_sparse_specs", [])):
+            self._params_stale = True
+
+    def _sync_params(self):
+        """Copy the weight lanes of combined-storage tables back into
+        params (cheap lane slice, once per epoch/read — never per step)."""
+        if not getattr(self, "_params_stale", False):
+            return
+        for spec in self._sparse_specs:
+            st = self.table_state.get(spec[0])
+            if isinstance(st, dict) and "combined" in st:
+                self.params = _set_path(self.params, spec[0],
+                                        st["combined"][:, :128])
+        self._params_stale = False
+
     def get_weights(self):
+        self._sync_params()
         return {"params": serialization.tree_to_numpy(self.params),
                 "batch_stats": serialization.tree_to_numpy(self.batch_stats)}
 
     def set_weights(self, weights):
+        self._params_stale = False
         self.params = jax.tree_util.tree_map(jnp.asarray, weights["params"])
         self.batch_stats = jax.tree_util.tree_map(
             jnp.asarray, weights.get("batch_stats", {}))
@@ -1303,6 +1369,7 @@ class BaseModel(object):
     def save_checkpoint(self, directory, include_optimizer=True):
         """Orbax train-state checkpoint (params + optimizer state) for
         exact resume — the reference never checkpoints optimizer state."""
+        self._sync_params()
         serialization.save_checkpoint(self, directory, include_optimizer)
 
     def load_checkpoint(self, directory):

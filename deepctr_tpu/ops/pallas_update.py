@@ -163,3 +163,106 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10,
     if adagrad:
         return outs[0], outs[1]
     return outs[0], None
+
+
+# ---------------------------------------------------------------------------
+# Combined-storage variant: the engine keeps adagrad tables as ONE
+# [R, 256] buffer — weight lanes 0..127, accumulator lanes 128..255 —
+# so each touched row costs exactly 1 read + 1 write DMA of 1 KB
+# (vs 3 row DMAs with separate buffers; DMA issue rate is the bound).
+# ---------------------------------------------------------------------------
+
+def _make_kernel_combined(lr, eps):
+    def kernel(rows_smem, nvalid_smem, g_ref, l2_ref, _c_in, c_out, scr,
+               sems):
+        base = pl.program_id(0) * _ROWS_PER_STEP
+        count = jnp.clip(nvalid_smem[0] - base, 0, _ROWS_PER_STEP)
+
+        def rd(j):
+            return [pltpu.make_async_copy(
+                c_out.at[pl.ds(rows_smem[base + j], 1), :],
+                scr.at[pl.ds(j, 1), :], sems.at[0, j % _WINDOW])]
+
+        def wr(j):
+            return [pltpu.make_async_copy(
+                scr.at[pl.ds(j, 1), :],
+                c_out.at[pl.ds(rows_smem[base + j], 1), :],
+                sems.at[1, j % _WINDOW])]
+
+        def phase(make):
+            def warm(j, _):
+                for c in make(j):
+                    c.start()
+                return 0
+
+            def drain(j, _):
+                for c in make(j):
+                    c.wait()
+                @pl.when(j + _WINDOW < count)
+                def _():
+                    for c in make(j + _WINDOW):
+                        c.start()
+                return 0
+
+            jax.lax.fori_loop(0, jnp.minimum(count, _WINDOW), warm, 0)
+            jax.lax.fori_loop(0, count, drain, 0)
+
+        phase(rd)
+
+        g = g_ref[:].astype(jnp.float32)
+        w = scr[:, :128]
+        a = scr[:, 128:]
+        g = g + 2.0 * l2_ref[:] * w
+        a2 = a + g * g
+        scr[:, 128:] = a2
+        scr[:, :128] = w - lr * g * jax.lax.rsqrt(a2 + eps)
+
+        phase(wr)
+
+    return kernel
+
+
+def combined_update_supported(combined, g, rows):
+    return (combined.ndim == 2 and combined.shape[1] == 256
+            and combined.dtype == jnp.float32 and g.shape[1] == 128
+            and rows.ndim == 1 and rows.shape[0] == g.shape[0]
+            and rows.shape[0] % _ROWS_PER_STEP == 0)
+
+
+def fused_row_update_combined(combined, g, rows, n_valid, l2_vec, lr,
+                              eps=1e-10):
+    """Adagrad update on combined [R, 256] (w | acc) storage.
+
+    g: [n, 128]; rows: [n] int32 sorted unique, first ``n_valid``
+    in-bounds.  Returns the updated combined buffer (in place when
+    donated)."""
+    n = g.shape[0]
+    grid = (n // _ROWS_PER_STEP,)
+    kernel = _make_kernel_combined(float(lr), float(eps))
+    l2 = jnp.broadcast_to(l2_vec.astype(jnp.float32), (1, 128))
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROWS_PER_STEP, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # g
+            pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),          # l2
+            pl.BlockSpec(memory_space=pl.ANY),              # combined
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS_PER_STEP, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _WINDOW)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(combined.shape, combined.dtype)],
+        # operands: 0=rows 1=nvalid 2=g 3=l2 4=combined -> output 0
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(rows, nv, g.astype(jnp.float32), l2, combined)
+    return out

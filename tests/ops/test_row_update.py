@@ -93,22 +93,47 @@ def test_end_to_end_training_with_kernel_matches_jnp(monkeypatch):
 
     def run(pallas):
         m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
-        m.compile("adagrad", "binary_crossentropy",
-                  sparse_table_updates=True)
-        assert m._sparse_specs
         try:
             if pallas:
+                # set BEFORE compile: adagrad tables then use the combined
+                # (w | acc) storage + the fused update kernel
                 dc_config.set_use_pallas(True)
+                m.compile("adagrad", "binary_crossentropy",
+                          sparse_table_updates=True)
+                assert m._sparse_specs
+                st = m.table_state["embedding_dict/big"]
+                assert isinstance(st, dict) and "combined" in st
                 with pltpu.force_tpu_interpret_mode():
                     m.fit(x, y, batch_size=64, epochs=1, verbose=0,
                           shuffle=False)
+                # params leaf lags until a read syncs it
+                p = m.predict(x, 64)
+                assert np.all(np.isfinite(p))
             else:
+                m.compile("adagrad", "binary_crossentropy",
+                          sparse_table_updates=True)
+                assert m._sparse_specs
                 m.fit(x, y, batch_size=64, epochs=1, verbose=0,
                       shuffle=False)
         finally:
             dc_config.set_use_pallas("auto")
-        return np.asarray(m.params["embedding_dict"]["big"])
+        return np.asarray(m.get_weights()["params"]["embedding_dict"]["big"])
 
     w_jnp = run(False)
     w_kernel = run(True)
     np.testing.assert_allclose(w_kernel, w_jnp, atol=1e-6)
+
+
+def test_fused_update_combined_matches_ref():
+    from deepctr_tpu.ops.pallas_update import fused_row_update_combined
+    w, acc, g, rows, n_valid, l2 = _setup()
+    lr, eps = 0.05, 1e-10
+    ref_w, ref_acc = _ref(w, acc, g, rows, n_valid, l2, lr, eps, True)
+    combined = jnp.concatenate([w, acc], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_row_update_combined(combined, g, rows, n_valid, l2,
+                                        lr, eps)
+    np.testing.assert_allclose(np.asarray(out[:, :128]), ref_w,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, 128:]), ref_acc,
+                               rtol=1e-5, atol=1e-6)

@@ -83,7 +83,7 @@ def main():
     def v_transform(i, carry):
         params, ts, os_, acc = carry
         Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
-        p_sub, Xs, aux = transform(params, Xi)
+        p_sub, Xs, aux = transform(params, ts, Xi)
         probes = [t.reshape(-1)[0].astype(jnp.float32)
                   for t in jax.tree_util.tree_leaves(p_sub)[:4]]
         acc = acc + sum(probes) + Xs.reshape(-1)[0]
@@ -92,7 +92,7 @@ def main():
     def v_fwdbwd(i, carry):
         params, ts, os_, acc = carry
         Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
-        p_sub, Xs, aux = transform(params, Xi)
+        p_sub, Xs, aux = transform(params, ts, Xi)
         g = jax.grad(lambda p: data_loss_of(p, Xs, jax.random.fold_in(
             key, i)))(p_sub)
         probes = [t.reshape(-1)[0].astype(jnp.float32)
