@@ -146,6 +146,7 @@ class BaseModel(object):
 
         self._compiled = False
         self._train_step = None
+        self._epoch_runners = {}
         self._predict_fn = None
         self._sharding_applied = False
         self.optim = None
@@ -379,9 +380,14 @@ class BaseModel(object):
     def _init_table_state(self, w):
         if self._optimizer_name == "adagrad":
             if self._use_combined_state(w):
-                return {"combined": jnp.concatenate(
+                # INTERLEAVED [2R, 128]: weights at even physical rows,
+                # accumulator at odd — Mosaic only lowers per-row DMAs
+                # for one-tile-wide (128-lane) rows, so a [R, 256]
+                # (w | acc) layout is not an option (see pallas_update)
+                return {"combined": jnp.stack(
                     [w.astype(jnp.float32),
-                     jnp.zeros(w.shape, jnp.float32)], axis=1)}
+                     jnp.zeros(w.shape, jnp.float32)],
+                    axis=1).reshape(2 * w.shape[0], w.shape[1])}
             return jnp.zeros(w.shape, jnp.float32)
         if self._optimizer_name == "adam":
             # lazy adam: per-row moments + per-row step count for bias
@@ -573,11 +579,12 @@ class BaseModel(object):
                     # are still sorted but no longer unique, so only the
                     # sorted promise is made here
                     if combined:
-                        # authoritative weights live in the (w | acc)
-                        # buffer; the params leaf lags during training
-                        small = st["combined"].at[urows].get(
+                        # authoritative weights live in the interleaved
+                        # (w, acc) buffer at EVEN physical rows; the
+                        # params leaf lags during training
+                        small = st["combined"].at[urows * 2].get(
                             mode="clip",
-                            indices_are_sorted=True)[:, :128]
+                            indices_are_sorted=True)
                     else:
                         w = _get_path(params, path)
                         small = w.at[urows].get(
@@ -774,6 +781,9 @@ class BaseModel(object):
 
         donate = (0, 1, 2, 3)
         self._train_step = jax.jit(train_step, donate_argnums=donate)
+        # the device-resident fit loop's jitted epoch runners close over
+        # _train_step; rebuild them after any recompile
+        self._epoch_runners = {}
         self._ensure_predict_fn()
         self._compiled = True
         self._apply_sharding()
@@ -945,30 +955,39 @@ class BaseModel(object):
         n_out = self.num_tasks
         do_shuffle = bool(shuffle)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-        def run_epoch(params, opt_state, table_state, batch_stats, rng,
-                      X, y, sw):
-            perm = (jax.random.permutation(rng, n_pad) if do_shuffle
-                    else jnp.arange(n_pad))
+        # A fresh closure per fit() call would defeat jax.jit's cache and
+        # recompile the whole epoch every call (20-60s through the axon
+        # tunnel) — cache the jitted runner per static epoch geometry;
+        # _ensure_compiled resets the cache when the step fn changes.
+        runner_key = (B, steps_per_epoch, n_pad, do_shuffle, n_out)
+        run_epoch = self._epoch_runners.get(runner_key)
+        if run_epoch is None:
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def run_epoch(params, opt_state, table_state, batch_stats, rng,
+                          X, y, sw):
+                perm = (jax.random.permutation(rng, n_pad) if do_shuffle
+                        else jnp.arange(n_pad))
 
-            def body(i, carry):
-                p, o, ts, bs, losses, preds = carry
-                idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
-                xb = jnp.take(X, idx, axis=0)
-                yb = jnp.take(y, idx, axis=0)
-                swb = jnp.take(sw, idx, axis=0)
-                rng_i = jax.random.fold_in(rng, i)
-                p, o, ts, bs, data_loss, total, y_pred = step(
-                    p, o, ts, bs, rng_i, xb, yb, swb)
-                losses = losses.at[i].set(total)
-                preds = preds.at[idx].set(
-                    y_pred.reshape(B, -1).astype(jnp.float32))
-                return (p, o, ts, bs, losses, preds)
+                def body(i, carry):
+                    p, o, ts, bs, losses, preds = carry
+                    idx = jax.lax.dynamic_slice(perm, (i * B,), (B,))
+                    xb = jnp.take(X, idx, axis=0)
+                    yb = jnp.take(y, idx, axis=0)
+                    swb = jnp.take(sw, idx, axis=0)
+                    rng_i = jax.random.fold_in(rng, i)
+                    p, o, ts, bs, data_loss, total, y_pred = step(
+                        p, o, ts, bs, rng_i, xb, yb, swb)
+                    losses = losses.at[i].set(total)
+                    preds = preds.at[idx].set(
+                        y_pred.reshape(B, -1).astype(jnp.float32))
+                    return (p, o, ts, bs, losses, preds)
 
-            init = (params, opt_state, table_state, batch_stats,
-                    jnp.zeros((steps_per_epoch,), jnp.float32),
-                    jnp.zeros((n_pad, n_out), jnp.float32))
-            return jax.lax.fori_loop(0, steps_per_epoch, body, init)
+                init = (params, opt_state, table_state, batch_stats,
+                        jnp.zeros((steps_per_epoch,), jnp.float32),
+                        jnp.zeros((n_pad, n_out), jnp.float32))
+                return jax.lax.fori_loop(0, steps_per_epoch, body, init)
+
+            self._epoch_runners[runner_key] = run_epoch
 
         callbacks = CallbackList((callbacks or []) + [self.history])
         callbacks.set_model(self)
@@ -1328,7 +1347,7 @@ class BaseModel(object):
             st = self.table_state.get(spec[0])
             if isinstance(st, dict) and "combined" in st:
                 self.params = _set_path(self.params, spec[0],
-                                        st["combined"][:, :128])
+                                        st["combined"][::2])
         self._params_stale = False
 
     def get_weights(self):

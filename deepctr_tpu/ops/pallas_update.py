@@ -167,9 +167,18 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10,
 
 # ---------------------------------------------------------------------------
 # Combined-storage variant: the engine keeps adagrad tables as ONE
-# [R, 256] buffer — weight lanes 0..127, accumulator lanes 128..255 —
-# so each touched row costs exactly 1 read + 1 write DMA of 1 KB
-# (vs 3 row DMAs with separate buffers; DMA issue rate is the bound).
+# INTERLEAVED [2R, 128] buffer — logical row r's weights at physical row
+# 2r, its accumulator at 2r+1 — so each touched row costs exactly 1 read
+# + 1 write DMA of a [2, 128] pair (vs 3 row DMAs with separate buffers;
+# DMA issue rate is the measured bound, tools/update_micro.py).
+#
+# Why not one [R, 256] buffer: Mosaic rejects dynamic single-row slices
+# of a 2-tile-wide HBM memref ("Slice shape along dimension 0 must be
+# aligned to tiling (8)") — per-row DMAs only lower for 128-lane rows.
+# The interleaved layout keeps the row width at one tile and gets the
+# same 2-DMA cost.  In-kernel, weights/accumulators are separated not by
+# lane-splitting (unsupported) but by a parity mask + pltpu.roll over
+# the interleaved scratch block.
 # ---------------------------------------------------------------------------
 
 def _make_kernel_combined(lr, eps):
@@ -180,13 +189,13 @@ def _make_kernel_combined(lr, eps):
 
         def rd(j):
             return [pltpu.make_async_copy(
-                c_out.at[pl.ds(rows_smem[base + j], 1), :],
-                scr.at[pl.ds(j, 1), :], sems.at[0, j % _WINDOW])]
+                c_out.at[pl.ds(rows_smem[base + j] * 2, 2), :],
+                scr.at[pl.ds(j * 2, 2), :], sems.at[0, j % _WINDOW])]
 
         def wr(j):
             return [pltpu.make_async_copy(
-                scr.at[pl.ds(j, 1), :],
-                c_out.at[pl.ds(rows_smem[base + j], 1), :],
+                scr.at[pl.ds(j * 2, 2), :],
+                c_out.at[pl.ds(rows_smem[base + j] * 2, 2), :],
                 sems.at[1, j % _WINDOW])]
 
         def phase(make):
@@ -209,13 +218,17 @@ def _make_kernel_combined(lr, eps):
 
         phase(rd)
 
-        g = g_ref[:].astype(jnp.float32)
-        w = scr[:, :128]
-        a = scr[:, 128:]
-        g = g + 2.0 * l2_ref[:] * w
-        a2 = a + g * g
-        scr[:, 128:] = a2
-        scr[:, :128] = w - lr * g * jax.lax.rsqrt(a2 + eps)
+        two_n = 2 * _ROWS_PER_STEP
+        P = scr[:]                      # interleaved (w, acc) row pairs
+        g = g_ref[:].astype(jnp.float32)   # rows duplicated x2 by caller
+        row_id = jax.lax.broadcasted_iota(jnp.int32, (two_n, 128), 0)
+        even = (row_id % 2) == 0
+        W = jnp.where(even, P, pltpu.roll(P, 1, 0))          # w everywhere
+        A = jnp.where(even, pltpu.roll(P, two_n - 1, 0), P)  # acc everywhere
+        gp = g + 2.0 * l2_ref[:] * W
+        anew = A + gp * gp
+        wnew = W - lr * gp * jax.lax.rsqrt(anew + eps)
+        scr[:] = jnp.where(even, wnew, anew)
 
         phase(wr)
 
@@ -223,7 +236,8 @@ def _make_kernel_combined(lr, eps):
 
 
 def combined_update_supported(combined, g, rows):
-    return (combined.ndim == 2 and combined.shape[1] == 256
+    return (combined.ndim == 2 and combined.shape[1] == 128
+            and combined.shape[0] % 2 == 0
             and combined.dtype == jnp.float32 and g.shape[1] == 128
             and rows.ndim == 1 and rows.shape[0] == g.shape[0]
             and rows.shape[0] % _ROWS_PER_STEP == 0)
@@ -231,29 +245,30 @@ def combined_update_supported(combined, g, rows):
 
 def fused_row_update_combined(combined, g, rows, n_valid, l2_vec, lr,
                               eps=1e-10):
-    """Adagrad update on combined [R, 256] (w | acc) storage.
+    """Adagrad update on interleaved [2R, 128] (w, acc) row-pair storage.
 
-    g: [n, 128]; rows: [n] int32 sorted unique, first ``n_valid``
-    in-bounds.  Returns the updated combined buffer (in place when
-    donated)."""
+    g: [n, 128] gradient of logical rows; rows: [n] int32 LOGICAL row
+    ids, sorted unique, first ``n_valid`` in-bounds (< R).  Returns the
+    updated combined buffer (in place when donated)."""
     n = g.shape[0]
     grid = (n // _ROWS_PER_STEP,)
     kernel = _make_kernel_combined(float(lr), float(eps))
     l2 = jnp.broadcast_to(l2_vec.astype(jnp.float32), (1, 128))
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    g2 = jnp.repeat(g.astype(jnp.float32), 2, axis=0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_ROWS_PER_STEP, 128), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),          # g
+            pl.BlockSpec((2 * _ROWS_PER_STEP, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),          # g pairs
             pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),          # l2
             pl.BlockSpec(memory_space=pl.ANY),              # combined
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((_ROWS_PER_STEP, 256), jnp.float32),
+            pltpu.VMEM((2 * _ROWS_PER_STEP, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, _WINDOW)),
         ],
     )
@@ -264,5 +279,5 @@ def fused_row_update_combined(combined, g, rows, n_valid, l2_vec, lr,
         # operands: 0=rows 1=nvalid 2=g 3=l2 4=combined -> output 0
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(rows, nv, g.astype(jnp.float32), l2, combined)
+    )(rows, nv, g2, l2, combined)
     return out

@@ -125,15 +125,18 @@ def test_end_to_end_training_with_kernel_matches_jnp(monkeypatch):
 
 
 def test_fused_update_combined_matches_ref():
+    """Interleaved [2R, 128] (w, acc) row-pair storage (the layout the
+    engine uses on the TPU adagrad path — see _use_combined_state)."""
     from deepctr_tpu.ops.pallas_update import fused_row_update_combined
     w, acc, g, rows, n_valid, l2 = _setup()
     lr, eps = 0.05, 1e-10
     ref_w, ref_acc = _ref(w, acc, g, rows, n_valid, l2, lr, eps, True)
-    combined = jnp.concatenate([w, acc], axis=1)
+    R = w.shape[0]
+    combined = jnp.stack([w, acc], axis=1).reshape(2 * R, 128)
     with pltpu.force_tpu_interpret_mode():
         out = fused_row_update_combined(combined, g, rows, n_valid, l2,
                                         lr, eps)
-    np.testing.assert_allclose(np.asarray(out[:, :128]), ref_w,
+    np.testing.assert_allclose(np.asarray(out[::2]), ref_w,
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out[:, 128:]), ref_acc,
+    np.testing.assert_allclose(np.asarray(out[1::2]), ref_acc,
                                rtol=1e-5, atol=1e-6)
