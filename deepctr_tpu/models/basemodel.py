@@ -16,6 +16,7 @@ TPU-native design decisions (vs the reference's eager loop):
 """
 
 import functools
+import os as _os
 import re
 import time
 import warnings
@@ -630,12 +631,37 @@ class BaseModel(object):
                 if (isinstance(st, dict) and "combined" in st
                         and combined_update_supported(st["combined"], g,
                                                       rows)):
-                    # combined (w | acc) storage: one 1KB read + one 1KB
-                    # write DMA per touched row; params leaf stays stale
-                    # until _sync_params
-                    new_state[path] = {"combined": fused_row_update_combined(
-                        st["combined"], g, rows, n_valid, l2_vec, lr,
-                        _ADAGRAD_EPS)}
+                    # interleaved (w, acc) pair storage; params leaf stays
+                    # stale until _sync_params.  Two variants, A/B'd
+                    # in-step on the real TPU (tools/ablate_active_rows):
+                    #   scatter (default) — XLA gathers the acc rows (its
+                    #     row-gather lowering is fast), the adagrad math
+                    #     fuses into XLA vector ops, and a write-only
+                    #     Pallas kernel issues 1 pair DMA per touched row;
+                    #   fused — read + compute + write all inside one RMW
+                    #     kernel (2 pair DMAs per row, in-kernel
+                    #     roll/mask compute).
+                    if _os.environ.get("DEEPCTR_UPDATE_MODE",
+                                       "scatter") == "scatter":
+                        from ..ops.pallas_update import scatter_rows
+                        comb = st["combined"]
+                        acc_rows = comb.at[rows * 2 + 1].get(
+                            mode="clip", indices_are_sorted=True)
+                        w_rows = w_rows_cached.astype(jnp.float32)
+                        gp = g.astype(jnp.float32) \
+                            + 2.0 * l2_vec[None, :] * w_rows
+                        a2 = acc_rows + gp * gp
+                        wn = w_rows - lr * gp * jax.lax.rsqrt(
+                            a2 + _ADAGRAD_EPS)
+                        newpairs = jnp.stack([wn, a2], axis=1).reshape(
+                            2 * wn.shape[0], wn.shape[1])
+                        new_state[path] = {"combined": scatter_rows(
+                            comb, newpairs, rows * 2, n_valid, L=2)}
+                    else:
+                        new_state[path] = {
+                            "combined": fused_row_update_combined(
+                                st["combined"], g, rows, n_valid, l2_vec,
+                                lr, _ADAGRAD_EPS)}
                     continue
                 if (dc_config.use_pallas()
                         and opt_name in ("sgd", "adagrad")

@@ -53,6 +53,15 @@ def _load():
             lib.dctr_hash_i64.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.dctr_parse_criteo.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_char,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.dctr_parse_criteo.restype = ctypes.c_int64
             _lib = lib
         except Exception:
             _lib = None
@@ -133,6 +142,65 @@ def hash_to_bucket(values, vocabulary_size):
         for i, e in enumerate(enc):
             out[i] = _fnv1a(e) % vocabulary_size
     return out.reshape(values.shape)
+
+
+def parse_criteo(buf, n_dense, n_sparse, vocabs, sep=",", log_dense=True,
+                 max_rows=None):
+    """Parse a bytes buffer of Criteo-format lines (label, I*, C*).
+
+    Returns ``(y [n] f32, dense [n, n_dense] f32, sparse [n, n_sparse]
+    f32 hashed ids, consumed_bytes)``; only complete lines are consumed,
+    so callers stream a file in arbitrary read sizes and carry the tail.
+    Categorical fields are FNV-1a-hashed onto [0, vocabs[i]) (empty ->
+    0); dense fields get log1p(max(v, 0)) when ``log_dense`` (the
+    streaming replacement for the reference recipe's global
+    MinMaxScaler).
+    """
+    lib = _load()
+    if max_rows is None:
+        max_rows = buf.count(b"\n")
+    vocabs = np.ascontiguousarray(
+        np.broadcast_to(np.asarray(vocabs, np.int64), (n_sparse,)))
+    y = np.empty((max_rows,), np.float32)
+    dense = np.empty((max_rows, max(n_dense, 1)), np.float32)
+    sparse = np.empty((max_rows, max(n_sparse, 1)), np.float32)
+    if lib is not None:
+        consumed = ctypes.c_int64(0)
+        rows = lib.dctr_parse_criteo(
+            buf, len(buf), max_rows, n_dense, n_sparse,
+            vocabs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            sep.encode()[0] if isinstance(sep, str) else sep,
+            1 if log_dense else 0,
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dense.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            sparse.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(consumed))
+        return (y[:rows], dense[:rows, :n_dense], sparse[:rows, :n_sparse],
+                consumed.value)
+    # numpy fallback (same semantics, FNV-1a included)
+    sep_b = sep if isinstance(sep, str) else sep.decode()
+    consumed = 0
+    rows = 0
+    for line in buf.splitlines(keepends=True):
+        if not line.endswith(b"\n") or rows >= max_rows:
+            break
+        consumed += len(line)
+        text = line.rstrip(b"\r\n")
+        if not text:
+            continue
+        parts = text.split(sep_b.encode())
+        y[rows] = 1.0 if parts[0] == b"1" else 0.0
+        for i in range(n_dense):
+            f = parts[1 + i] if 1 + i < len(parts) else b""
+            v = float(f) if f else 0.0
+            dense[rows, i] = np.log1p(max(v, 0.0)) if log_dense else v
+        for i in range(n_sparse):
+            f = parts[1 + n_dense + i] if 1 + n_dense + i < len(parts) \
+                else b""
+            sparse[rows, i] = (_fnv1a(f) % int(vocabs[i])) if f else 0
+        rows += 1
+    return (y[:rows], dense[:rows, :n_dense], sparse[:rows, :n_sparse],
+            consumed)
 
 
 def _fnv1a(data):

@@ -235,6 +235,78 @@ def _make_kernel_combined(lr, eps):
     return kernel
 
 
+def _make_scatter_kernel(L):
+    def kernel(starts_smem, nvalid_smem, vals_ref, _t_in, t_out, sems):
+        base = pl.program_id(0) * _ROWS_PER_STEP
+        count = jnp.clip(nvalid_smem[0] - base, 0, _ROWS_PER_STEP)
+
+        def wr(j):
+            return pltpu.make_async_copy(
+                vals_ref.at[pl.ds(j * L, L), :],
+                t_out.at[pl.ds(starts_smem[base + j], L), :],
+                sems.at[j % _WINDOW])
+
+        def warm(j, _):
+            wr(j).start()
+            return 0
+
+        def drain(j, _):
+            wr(j).wait()
+            @pl.when(j + _WINDOW < count)
+            def _():
+                wr(j + _WINDOW).start()
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(count, _WINDOW), warm, 0)
+        jax.lax.fori_loop(0, count, drain, 0)
+
+    return kernel
+
+
+def scatter_rows_supported(table, vals, starts, L):
+    return (table.ndim == 2 and table.shape[1] == 128
+            and table.dtype == jnp.float32
+            and vals.ndim == 2 and vals.shape[1] == 128
+            and starts.ndim == 1
+            and vals.shape[0] == starts.shape[0] * L
+            and starts.shape[0] % _ROWS_PER_STEP == 0)
+
+
+def scatter_rows(table, vals, starts, n_valid, L=1):
+    """Write-only row scatter: for j < n_valid, one async DMA copies
+    ``vals[L*j : L*j+L]`` into ``table[starts[j] : starts[j]+L]``.
+
+    The read/compute half of a row update is left to XLA (its row GATHER
+    lowering is fast — only its scatter is the measured pathology, see
+    tools/scatter_micro.py), so the kernel is pure DMA issue: no VMEM
+    scratch, no in-kernel compute.  ``starts`` must be sorted and
+    non-overlapping over the first ``n_valid`` entries (rows j >= n_valid
+    are never written)."""
+    n = starts.shape[0]
+    grid = (n // _ROWS_PER_STEP,)
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROWS_PER_STEP * L, 128), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),      # vals
+            pl.BlockSpec(memory_space=pl.ANY),          # table
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_WINDOW,))],
+    )
+    (out,) = pl.pallas_call(
+        _make_scatter_kernel(L),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(table.shape, table.dtype)],
+        # operands: 0=starts 1=nvalid 2=vals 3=table -> output 0
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, nv, vals.astype(jnp.float32), table)
+    return out
+
+
 def combined_update_supported(combined, g, rows):
     return (combined.ndim == 2 and combined.shape[1] == 128
             and combined.shape[0] % 2 == 0

@@ -124,6 +124,25 @@ def test_end_to_end_training_with_kernel_matches_jnp(monkeypatch):
     np.testing.assert_allclose(w_kernel, w_jnp, atol=1e-6)
 
 
+@pytest.mark.parametrize("L", [1, 2])
+def test_scatter_rows_matches_ref(L):
+    from deepctr_tpu.ops.pallas_update import scatter_rows
+    rng = np.random.default_rng(1)
+    R, n, n_valid = 4096, _ROWS_PER_STEP * 2, 1500
+    table = jnp.asarray(rng.normal(size=(R * L, 128)), jnp.float32)
+    starts_valid = np.sort(rng.choice(R, n_valid, replace=False)) * L
+    starts = np.concatenate(
+        [starts_valid, (R + np.arange(n - n_valid)) * L]).astype(np.int32)
+    vals = jnp.asarray(rng.normal(size=(n * L, 128)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = scatter_rows(table, vals, jnp.asarray(starts), n_valid, L)
+    want = np.asarray(table).copy()
+    v = np.asarray(vals)
+    for j in range(n_valid):
+        want[starts[j]:starts[j] + L] = v[L * j:L * j + L]
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
 def test_fused_update_combined_matches_ref():
     """Interleaved [2R, 128] (w, acc) row-pair storage (the layout the
     engine uses on the TPU adagrad path — see _use_combined_state)."""
