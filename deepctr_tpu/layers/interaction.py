@@ -124,7 +124,7 @@ class CIN(nn.Module):
     init_std: float = 1e-4
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, training=False):
         if inputs.ndim != 3:
             raise ValueError("CIN expects [B, F, E] inputs")
         if len(self.layer_size) == 0:
@@ -148,7 +148,8 @@ class CIN(nn.Module):
             w = self.param("conv_w_%d" % i, init, (size, in_ch))
             b = self.param("conv_b_%d" % i, nn.initializers.zeros, (size,))
             w3 = w.astype(dtype).reshape(size, field_nums[-1], F)
-            x = cin_mix(hidden, x0_t, w3) + b.astype(dtype)[None, None, :]
+            x = cin_mix(hidden, x0_t, w3, training=training) \
+                + b.astype(dtype)[None, None, :]
             curr_out = act(x)                                   # [B, E, size]
             if self.split_half:
                 if i != len(self.layer_size) - 1:

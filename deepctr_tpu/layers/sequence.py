@@ -93,12 +93,17 @@ class AttentionSequencePoolingLayer(nn.Module):
         # readout (MLP scores + mask + softmax + weighted sum) in one
         # pass; the scores computed above are then dead code that XLA
         # eliminates.  Training keeps the jnp composition (autodiff).
+        # EXPLICIT opt-in only: the end-to-end A/B on a v5e chip
+        # (tools/din_attention_bench.py) measured 0.99x at maxlen 256
+        # AND 512 — the per-sample [T,4E] MLP is too small for a
+        # one-sample-per-grid-step kernel to beat XLA's batched einsum
+        # fusion (negative result recorded in BASELINE.md).
         if (not training and not self.return_score
                 and not self.is_initializing()):
             from .. import config
             from ..ops.pallas_attention import (
                 din_attention_fused, din_attention_fused_supported)
-            if (config.use_pallas()
+            if (config.use_pallas_explicit()
                     and din_attention_fused_supported(
                         query, keys, self.att_hidden_units,
                         self.att_activation)):

@@ -55,7 +55,7 @@ class XDeepFMModule(BaseModule):
         final_logit = self.linear_model(X)
         if self.use_cin:
             cin_input = jnp.concatenate(sparse_embedding_list, axis=1)
-            cin_output = self.cin(cin_input)
+            cin_output = self.cin(cin_input, training=training)
             final_logit = final_logit + self.cin_linear(cin_output).astype(
                 final_logit.dtype)
         if self.use_dnn:

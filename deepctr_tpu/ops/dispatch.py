@@ -25,13 +25,19 @@ def cin_layer(hidden, x0, w, b):
     return _ref.cin_layer_ref(hidden, x0, w, b)
 
 
-def cin_mix(hidden_t, x0_t, w3):
-    """Pallas CIN is opt-in (``set_use_pallas(True)``), not 'auto': the
+def cin_mix(hidden_t, x0_t, w3, training=True):
+    """Pallas CIN dispatch.
+
+    Training: opt-in only (``set_use_pallas(True)``), not 'auto' — the
     kernel wins the isolated forward at lane-aligned shapes (1.8x at
     H=128) but measured slower inside the full jitted train step (custom
     VJP fusion barrier + layout conversions at the kernel boundary), so
-    the XLA einsum path is the training default."""
-    if config.use_pallas_explicit():
+    the XLA einsum path is the training default.
+
+    Inference (``training=False``): the forward kernel IS the whole op —
+    no VJP barrier exists — so it dispatches on 'auto' like the other
+    inference kernels (see layers/sequence.py attention dispatch)."""
+    if config.use_pallas_explicit() or (not training and config.use_pallas()):
         p = _pallas()
         if p is not None and p.cin_mix_supported(hidden_t, x0_t, w3):
             return p.cin_mix(hidden_t, x0_t, w3)

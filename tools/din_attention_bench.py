@@ -83,7 +83,10 @@ def bench(use_pallas):
     @jax.jit
     def run(params, batch_stats, n):
         def body(i, acc):
-            y = fwd(params, batch_stats, X)
+            # roll the batch per step so the loop body is not
+            # loop-invariant (XLA would hoist a pure repeated call)
+            xb = jnp.roll(X, i, axis=0)
+            y = fwd(params, batch_stats, xb)
             return acc + jnp.sum(y.astype(jnp.float32))
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
