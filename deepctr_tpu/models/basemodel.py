@@ -621,8 +621,12 @@ class BaseModel(object):
             from ..ops.pallas_update import (combined_update_supported,
                                              fused_row_update,
                                              fused_row_update_combined,
-                                             row_update_supported)
+                                             multi_scatter_rows,
+                                             row_update_supported,
+                                             scatter_rows)
             new_state = dict(table_state)
+            update_mode = _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
+            pooled = []   # combined tables awaiting the one-launch scatter
             for path, spans, n_rows, pack, l2_vec in specs:
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
@@ -632,18 +636,23 @@ class BaseModel(object):
                         and combined_update_supported(st["combined"], g,
                                                       rows)):
                     # interleaved (w, acc) pair storage; params leaf stays
-                    # stale until _sync_params.  Two variants, A/B'd
-                    # in-step on the real TPU (tools/ablate_active_rows):
+                    # stale until _sync_params.  Variants, A/B'd in-step
+                    # on the real TPU at vocab 1M (tools/
+                    # ablate_active_rows): scatter 332.7k / scatter_pooled
+                    # 314.9k / fused 287.2k ex/s/chip:
                     #   scatter (default) — XLA gathers the acc rows (its
                     #     row-gather lowering is fast), the adagrad math
                     #     fuses into XLA vector ops, and a write-only
-                    #     Pallas kernel issues 1 pair DMA per touched row;
-                    #   fused — read + compute + write all inside one RMW
-                    #     kernel (2 pair DMAs per row, in-kernel
-                    #     roll/mask compute).
-                    if _os.environ.get("DEEPCTR_UPDATE_MODE",
-                                       "scatter") == "scatter":
-                        from ..ops.pallas_update import scatter_rows
+                    #     Pallas kernel per table issues 1 pair DMA per
+                    #     touched row;
+                    #   scatter_pooled — ONE multi-table kernel launch for
+                    #     all tables; loses: the [G, 2n, 128] vals stack
+                    #     costs a full HBM round trip that outweighs the
+                    #     saved launches;
+                    #   fused — read + compute + write inside one RMW
+                    #     kernel per table (2 pair DMAs per row,
+                    #     in-kernel roll/mask compute).
+                    if update_mode.startswith("scatter"):
                         comb = st["combined"]
                         acc_rows = comb.at[rows * 2 + 1].get(
                             mode="clip", indices_are_sorted=True)
@@ -655,8 +664,12 @@ class BaseModel(object):
                             a2 + _ADAGRAD_EPS)
                         newpairs = jnp.stack([wn, a2], axis=1).reshape(
                             2 * wn.shape[0], wn.shape[1])
-                        new_state[path] = {"combined": scatter_rows(
-                            comb, newpairs, rows * 2, n_valid, L=2)}
+                        if update_mode == "scatter_pooled":
+                            pooled.append((path, st["combined"], newpairs,
+                                           rows * 2, n_valid))
+                        else:
+                            new_state[path] = {"combined": scatter_rows(
+                                comb, newpairs, rows * 2, n_valid, L=2)}
                     else:
                         new_state[path] = {
                             "combined": fused_row_update_combined(
@@ -706,6 +719,22 @@ class BaseModel(object):
                     step = lr * g
                 params = _set_path(params, path,
                                    _set_rows(w, rows, w_rows - step))
+            if pooled:
+                # one kernel launch per starts-length group (uniform
+                # criteo shapes -> a single launch for all 26 tables)
+                by_n = {}
+                for item in pooled:
+                    by_n.setdefault(int(item[3].shape[0]), []).append(item)
+                for _, group in sorted(by_n.items()):
+                    outs = multi_scatter_rows(
+                        [it[1] for it in group],
+                        jnp.stack([it[2] for it in group]),
+                        jnp.stack([it[3] for it in group]),
+                        jnp.stack([jnp.asarray(it[4], jnp.int32)
+                                   for it in group]),
+                        L=2)
+                    for it, out in zip(group, outs):
+                        new_state[it[0]] = {"combined": out}
             return params, new_state
 
         return transform, row_update

@@ -143,6 +143,34 @@ def test_scatter_rows_matches_ref(L):
     np.testing.assert_array_equal(np.asarray(out), want)
 
 
+def test_multi_scatter_rows_matches_ref():
+    """One-launch scatter across tables of different sizes (the pooled
+    default of the big-vocab active-rows update)."""
+    from deepctr_tpu.ops.pallas_update import multi_scatter_rows
+    rng = np.random.default_rng(2)
+    L, n = 2, _ROWS_PER_STEP
+    sizes = [3000, 4096, 5000]
+    tables = [jnp.asarray(rng.normal(size=(R * L, 128)), jnp.float32)
+              for R in sizes]
+    starts, nvs, vals = [], [], []
+    for R in sizes:
+        nv = rng.integers(100, n)
+        s = np.sort(rng.choice(R, nv, replace=False)) * L
+        s = np.concatenate([s, (R + np.arange(n - nv)) * L])
+        starts.append(s.astype(np.int32))
+        nvs.append(nv)
+        vals.append(rng.normal(size=(n * L, 128)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        outs = multi_scatter_rows(
+            tables, jnp.asarray(np.stack(vals)),
+            jnp.asarray(np.stack(starts)), np.asarray(nvs), L=L)
+    for t, out, s, nv, v in zip(tables, outs, starts, nvs, vals):
+        want = np.asarray(t).copy()
+        for j in range(nv):
+            want[s[j]:s[j] + L] = v[L * j:L * j + L]
+        np.testing.assert_array_equal(np.asarray(out), want)
+
+
 def test_fused_update_combined_matches_ref():
     """Interleaved [2R, 128] (w, acc) row-pair storage (the layout the
     engine uses on the TPU adagrad path — see _use_combined_state)."""
