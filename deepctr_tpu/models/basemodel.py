@@ -263,11 +263,10 @@ class BaseModel(object):
                 lambda path, _: _path_str(path) not in sparse_paths,
                 self.params)
             self._masked_optim = optax.masked(self.optim, mask)
-            self.table_state = {
-                p: self._init_table_state(_get_path(self.params, p))
-                for p in sparse_paths}
+            self.table_state = self._build_table_state()
         else:
             self._masked_optim = self.optim
+            self._arena_bases, self._arena_layout = {}, []
             self.table_state = {}
         self.opt_state = self._masked_optim.init(self.params)
         self._compiled = False
@@ -398,6 +397,49 @@ class BaseModel(object):
                     "t": jnp.zeros((w.shape[0],), jnp.int32)}
         return ()
 
+    def _update_mode(self):
+        """Active-rows update variant (A/B'd on the real TPU at vocab 1M,
+        tools/ablate_active_rows; BASELINE.md round-2 table):
+          scatter (default) — per-table: XLA pair-gather + fused XLA
+            adagrad + one write-only Pallas scatter launch per table
+            (332.7k ex/s/chip);
+          arena            — ALL combined-storage tables in ONE [2P, 128]
+            buffer: one pair-gather, one batched adagrad, ONE grid-G
+            scatter launch (312.9k — loses: the [G, n] starts scalar-
+            prefetch array is ~0.5MB of SMEM, and the kernel's per-DMA
+            issue cost measured 42 vs 28 ns; launch overhead was never
+            the bound — tools/scatter_issue_micro.py);
+          scatter_pooled   — per-table storage, pooled launch (314.9k —
+            the stacked vals copy costs an extra HBM round trip);
+          fused            — per-table read-modify-write kernel (287.2k —
+            2 pair-DMAs per row vs scatter's 1)."""
+        return _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
+
+    def _build_table_state(self):
+        """Per-table optimizer state; combined-storage (w | acc) tables
+        are CONCATENATED into one shared '__arena__' buffer in arena mode
+        so the whole update is a single gather + single scatter launch
+        (see ops/pallas_update.arena_scatter_rows)."""
+        self._arena_bases = {}       # path -> pair-row base in the arena
+        self._arena_layout = []      # ordered (path, base, n_rows)
+        state = {}
+        arena_parts = []
+        base = 0
+        use_arena = (self._update_mode() == "arena"
+                     and self._optimizer_name == "adagrad")
+        for p, spans, n_rows, pack in self._sparse_specs:
+            st = self._init_table_state(_get_path(self.params, p))
+            if (use_arena and isinstance(st, dict) and "combined" in st):
+                self._arena_bases[p] = base
+                self._arena_layout.append((p, base, n_rows))
+                arena_parts.append(st["combined"])
+                base += n_rows
+            else:
+                state[p] = st
+        if arena_parts:
+            state["__arena__"] = jnp.concatenate(arena_parts, axis=0)
+        return state
+
     def _table_layouts(self):
         """{table_param_path: (logical_width, fused_deep_dim_or_None,
         pack)} — the lane layout of every embedding-table param, derived
@@ -509,6 +551,8 @@ class BaseModel(object):
                           self._table_l2_vec(path, w)))
         opt_name = self._optimizer_name
         lr = self._learning_rate
+        arena_bases = dict(self._arena_bases)
+        update_mode = self._update_mode()
 
         def transform(params, table_state, X):
             aux = {}
@@ -566,6 +610,37 @@ class BaseModel(object):
                     jnp.arange(n)[None, :] < n_unique, urows_mat,
                     sentinel + jnp.arange(n, dtype=jnp.int32)[None, :])
 
+                # ARENA members of the group: every combined-storage table
+                # lives in ONE shared [2P, 128] buffer, so all their
+                # touched (w, acc) pairs come back with ONE gather
+                arena_sel = [g for g, it in enumerate(group)
+                             if it[0] in arena_bases]
+                W_arena = None
+                if arena_sel:
+                    arena_buf = table_state["__arena__"]
+                    bases = np.array([arena_bases[group[g][0]]
+                                      for g in arena_sel],
+                                     np.int32)[:, None]
+                    caps = np.array([group[g][2] - 1 for g in arena_sel],
+                                    np.int32)[:, None]
+                    sub = (scatter_mat if len(arena_sel) == len(group)
+                           else scatter_mat[np.array(arena_sel)])
+                    # clip each table's out-of-bounds dedup padding onto
+                    # its LAST row: bases ascend in spec order, so the
+                    # flat index vector stays globally sorted (XLA's fast
+                    # gather); padding slots' values are never read
+                    gth = (jnp.minimum(sub, caps) + bases).reshape(-1)
+                    pairs = arena_buf.reshape(-1, 2, 128).at[gth].get(
+                        mode="clip", indices_are_sorted=True)
+                    W_arena, A_arena = pairs[:, 0, :], pairs[:, 1, :]
+                    nvs = jnp.stack(
+                        [n_unique[g, 0] - (1 if group[g][5] else 0)
+                         for g in arena_sel])
+                    aux.setdefault("__arena__", []).append(
+                        {"paths": [group[g][0] for g in arena_sel],
+                         "W": W_arena, "A": A_arena,
+                         "starts": (sub + bases) * 2, "nvs": nvs})
+
                 for g, (path, spans, n_rows, pack, ids,
                         pad) in enumerate(group):
                     urows = scatter_mat[g]
@@ -573,24 +648,29 @@ class BaseModel(object):
                     # the padding ids dedup into exactly one extra
                     # (out-of-bounds) slot when present
                     n_valid = n_unique[g, 0] - (1 if pad else 0)
-                    st = table_state.get(path)
-                    combined = isinstance(st, dict) and "combined" in st
-                    # clip maps padding rows onto the last row (harmless:
-                    # nothing reads their slice values); post-clip indices
-                    # are still sorted but no longer unique, so only the
-                    # sorted promise is made here
-                    if combined:
-                        # authoritative weights live in the interleaved
-                        # (w, acc) buffer at EVEN physical rows; the
-                        # params leaf lags during training
-                        small = st["combined"].at[urows * 2].get(
-                            mode="clip",
-                            indices_are_sorted=True)
+                    if path in arena_bases:
+                        k = arena_sel.index(g)
+                        small = W_arena[k * n:(k + 1) * n]
                     else:
-                        w = _get_path(params, path)
-                        small = w.at[urows].get(
-                            mode="clip",
-                            indices_are_sorted=True)   # [n, width]
+                        st = table_state.get(path)
+                        combined = isinstance(st, dict) and "combined" in st
+                        # clip maps padding rows onto the last row
+                        # (harmless: nothing reads their slice values);
+                        # post-clip indices are still sorted but no longer
+                        # unique, so only the sorted promise is made here
+                        if combined:
+                            # authoritative weights live in the
+                            # interleaved (w, acc) buffer at EVEN physical
+                            # rows; the params leaf lags during training
+                            small = st["combined"].at[urows * 2].get(
+                                mode="clip",
+                                indices_are_sorted=True)
+                        else:
+                            w = _get_path(params, path)
+                            small = w.at[urows].get(
+                                mode="clip",
+                                indices_are_sorted=True)   # [n, width]
+                        aux[path] = (urows, n_valid, small)
                     params = _set_path(params, path, small)
                     proxy = inv[g] * pack + ids % pack if pack > 1 \
                         else inv[g]
@@ -602,7 +682,6 @@ class BaseModel(object):
                         off += X.shape[0] * width
                         X = X.at[:, s:e].set(
                             chunk.reshape(X.shape[0], width).astype(X.dtype))
-                    aux[path] = (urows, n_valid, small)
             return params, X, aux
 
         def _get_rows(arr, rows):
@@ -618,16 +697,41 @@ class BaseModel(object):
 
         def row_update(params, table_state, grads, aux):
             from .. import config as dc_config
-            from ..ops.pallas_update import (combined_update_supported,
+            from ..ops.pallas_update import (arena_scatter_rows,
+                                             combined_update_supported,
                                              fused_row_update,
                                              fused_row_update_combined,
                                              multi_scatter_rows,
                                              row_update_supported,
                                              scatter_rows)
             new_state = dict(table_state)
-            update_mode = _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
+            l2_by_path = {s[0]: s[4] for s in specs}
+            # ARENA path: every combined table's update in ONE batched
+            # adagrad + ONE scatter launch into the shared buffer.  The
+            # vals tensor is the contiguous output of the batched math —
+            # no per-table stacking (the copy that sank scatter_pooled)
+            for grp in aux.get("__arena__", ()):
+                arena_buf = new_state["__arena__"]
+                Ga = len(grp["paths"])
+                n = grp["starts"].shape[1]
+                g_all = jnp.concatenate(
+                    [_get_path(grads, p) for p in grp["paths"]]
+                ).astype(jnp.float32).reshape(Ga, n, 128)
+                l2s = jnp.stack([l2_by_path[p].astype(jnp.float32)
+                                 for p in grp["paths"]])[:, None, :]
+                W3 = grp["W"].astype(jnp.float32).reshape(Ga, n, 128)
+                A3 = grp["A"].astype(jnp.float32).reshape(Ga, n, 128)
+                gp = g_all + 2.0 * l2s * W3          # lazy L2, touched rows
+                a2 = A3 + gp * gp
+                wn = W3 - lr * gp * jax.lax.rsqrt(a2 + _ADAGRAD_EPS)
+                newpairs = jnp.stack([wn, a2], axis=2).reshape(
+                    Ga, 2 * n, 128)
+                new_state["__arena__"] = arena_scatter_rows(
+                    arena_buf, newpairs, grp["starts"], grp["nvs"], L=2)
             pooled = []   # combined tables awaiting the one-launch scatter
             for path, spans, n_rows, pack, l2_vec in specs:
+                if path in arena_bases:
+                    continue
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
                 rows, n_valid, w_rows_cached = aux[path]
@@ -1388,9 +1492,10 @@ class BaseModel(object):
         """Called by the fit loops after training steps: combined-storage
         tables update only their (w | acc) buffer, leaving the params
         leaf lagging until the next _sync_params."""
-        if any(isinstance(self.table_state.get(spec[0]), dict)
-               and "combined" in self.table_state[spec[0]]
-               for spec in getattr(self, "_sparse_specs", [])):
+        if "__arena__" in getattr(self, "table_state", {}) or any(
+                isinstance(self.table_state.get(spec[0]), dict)
+                and "combined" in self.table_state[spec[0]]
+                for spec in getattr(self, "_sparse_specs", [])):
             self._params_stale = True
 
     def _sync_params(self):
@@ -1398,6 +1503,11 @@ class BaseModel(object):
         params (cheap lane slice, once per epoch/read — never per step)."""
         if not getattr(self, "_params_stale", False):
             return
+        arena = self.table_state.get("__arena__")
+        for path, base, n_rows in getattr(self, "_arena_layout", []):
+            self.params = _set_path(
+                self.params, path,
+                arena[2 * base:2 * (base + n_rows):2])
         for spec in self._sparse_specs:
             st = self.table_state.get(spec[0])
             if isinstance(st, dict) and "combined" in st:
@@ -1417,9 +1527,7 @@ class BaseModel(object):
             jnp.asarray, weights.get("batch_stats", {}))
         if getattr(self, "optim", None) is not None:
             self.opt_state = self._masked_optim.init(self.params)
-            self.table_state = {
-                p: self._init_table_state(_get_path(self.params, p))
-                for p, _, _, _ in self._sparse_specs}
+            self.table_state = self._build_table_state()
         self._sharding_applied = False
         if self._compiled:
             self._apply_sharding()

@@ -378,6 +378,77 @@ def multi_scatter_rows(tables, vals, starts, n_valids, L=1):
     return list(outs)
 
 
+def _make_arena_scatter_kernel(L):
+    def kernel(starts_smem, nvalid_smem, vals_ref, _t_in, t_out, sems):
+        t = pl.program_id(0)
+        base = pl.program_id(1) * _ROWS_PER_STEP
+        count = jnp.clip(nvalid_smem[t] - base, 0, _ROWS_PER_STEP)
+
+        def wr(j):
+            return pltpu.make_async_copy(
+                vals_ref.at[0, pl.ds(j * L, L), :],
+                t_out.at[pl.ds(starts_smem[t, base + j], L), :],
+                sems.at[j % _WINDOW])
+
+        def warm(j, _):
+            wr(j).start()
+            return 0
+
+        def drain(j, _):
+            wr(j).wait()
+            @pl.when(j + _WINDOW < count)
+            def _():
+                wr(j + _WINDOW).start()
+            return 0
+
+        jax.lax.fori_loop(0, jnp.minimum(count, _WINDOW), warm, 0)
+        jax.lax.fori_loop(0, count, drain, 0)
+
+    return kernel
+
+
+def arena_scatter_rows(arena, vals, starts, n_valids, L=1):
+    """One-launch row scatter of G tables' updates into ONE shared arena
+    buffer (all sparse tables' interleaved (w, acc) storage concatenated
+    — see BaseModel._build_table_state).
+
+    This is the shape the pooled per-table variant (multi_scatter_rows)
+    could not reach: with separate table buffers the G vals blocks had to
+    be jnp.stack'ed — a full extra HBM round trip that lost end-to-end —
+    while here ``vals`` [G, n*L, 128] is the contiguous output of ONE
+    batched update computation, so pooling the launches costs nothing.
+
+    arena: [R, 128] f32; vals: [G, n*L, 128]; starts: [G, n] int32
+    physical start rows into the arena, sorted non-overlapping per table
+    over the first ``n_valids[t]`` entries (later entries may point
+    anywhere — they are never read); n_valids: [G] int32.  ``n`` must be
+    a multiple of _ROWS_PER_STEP.  Returns the updated arena (in place
+    when donated)."""
+    G, n = starts.shape
+    nv = jnp.asarray(n_valids, jnp.int32).reshape(G)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, n // _ROWS_PER_STEP),
+        in_specs=[
+            pl.BlockSpec((1, _ROWS_PER_STEP * L, 128),
+                         lambda t, b, *_: (t, b, 0),
+                         memory_space=pltpu.VMEM),      # vals
+            pl.BlockSpec(memory_space=pl.ANY),          # arena
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_WINDOW,))],
+    )
+    (out,) = pl.pallas_call(
+        _make_arena_scatter_kernel(L),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(arena.shape, arena.dtype)],
+        # operands: 0=starts 1=nvalid 2=vals 3=arena -> output 0
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, nv, vals.astype(jnp.float32), arena)
+    return out
+
+
 def combined_update_supported(combined, g, rows):
     return (combined.ndim == 2 and combined.shape[1] == 128
             and combined.shape[0] % 2 == 0

@@ -85,6 +85,9 @@ def test_end_to_end_training_with_kernel_matches_jnp(monkeypatch):
     from deepctr_tpu.models import DeepFM
 
     monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 512)
+    # pin the PER-TABLE combined path (the default 'arena' mode moves
+    # combined tables into the shared arena buffer instead)
+    monkeypatch.setenv("DEEPCTR_UPDATE_MODE", "scatter")
     rng = np.random.default_rng(0)
     N, V = 128, 2048
     x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
@@ -169,6 +172,37 @@ def test_multi_scatter_rows_matches_ref():
         for j in range(nv):
             want[s[j]:s[j] + L] = v[L * j:L * j + L]
         np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_arena_scatter_rows_matches_ref():
+    """One-launch scatter of G tables' row updates into the SHARED arena
+    buffer (the default big-vocab update path — vals come in contiguous,
+    no per-table stacking)."""
+    from deepctr_tpu.ops.pallas_update import arena_scatter_rows
+    rng = np.random.default_rng(3)
+    L, n = 2, _ROWS_PER_STEP
+    sizes = [3000, 4096, 5000]          # pair-rows per table
+    P = sum(sizes)
+    arena = jnp.asarray(rng.normal(size=(P * L, 128)), jnp.float32)
+    bases = np.cumsum([0] + sizes[:-1])
+    starts, nvs, vals = [], [], []
+    for base, R in zip(bases, sizes):
+        nv = rng.integers(100, n)
+        s = np.sort(rng.choice(R, nv, replace=False))
+        # dedup-padding sentinels: distinct rows past the table's end
+        s = np.concatenate([s, R + np.arange(n - nv)])
+        starts.append(((base + s) * L).astype(np.int32))
+        nvs.append(nv)
+        vals.append(rng.normal(size=(n * L, 128)).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        out = arena_scatter_rows(
+            arena, jnp.asarray(np.stack(vals)),
+            jnp.asarray(np.stack(starts)), np.asarray(nvs), L=L)
+    want = np.asarray(arena).copy()
+    for s, nv, v in zip(starts, nvs, vals):
+        for j in range(nv):
+            want[s[j]:s[j] + L] = v[L * j:L * j + L]
+    np.testing.assert_array_equal(np.asarray(out), want)
 
 
 def test_fused_update_combined_matches_ref():

@@ -171,6 +171,95 @@ def test_sparse_packed_fused_matches_dense(monkeypatch):
     np.testing.assert_allclose(run(False), run(True), atol=2e-5)
 
 
+def test_arena_update_matches_dense(monkeypatch):
+    """The arena path (all combined-storage tables in ONE buffer, one
+    pair-gather + one batched adagrad + one grid-G Pallas scatter) must
+    reproduce the dense trajectory exactly (reg off).  Runs the real
+    kernels in Mosaic interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_UPDATE_MODE", "arena")
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"b0": rng.integers(0, V, N), "b1": rng.integers(0, V, N),
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("b0", V, 16), SparseFeat("b1", V, 16),
+            DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        if sparse:
+            dc_config.set_use_pallas(True)
+            try:
+                with pltpu.force_tpu_interpret_mode():
+                    m.compile("adagrad", "binary_crossentropy",
+                              sparse_table_updates=True)
+                    assert len(m._arena_layout) == 2, m._arena_layout
+                    assert "__arena__" in m.table_state
+                    m.fit(x, y, batch_size=64, epochs=2, verbose=0,
+                          shuffle=False)
+                    return m.predict(x, 64)
+            finally:
+                dc_config.set_use_pallas("auto")
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=False)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_arena_untouched_rows_frozen_and_lazy_l2(monkeypatch):
+    """With reg ON, the arena path must (a) leave never-touched rows
+    bit-identical and (b) apply L2 to touched rows (weights differ from
+    the reg-off run)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_UPDATE_MODE", "arena")
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    # ids only in [0, 512): packed rows >= 64 never touched
+    x = {"b0": rng.integers(0, 512, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("b0", V, 16)]
+
+    def run(l2):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=l2, l2_reg_linear=l2)
+        dc_config.set_use_pallas(True)
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                m.compile("adagrad", "binary_crossentropy",
+                          sparse_table_updates=True)
+                assert "__arena__" in m.table_state
+                pack = m._sparse_specs[0][3]
+                before = np.asarray(
+                    m.params["embedding_dict"]["b0"]).copy()
+                m.fit(x, y, batch_size=64, epochs=2, verbose=0,
+                      shuffle=False)
+                # get_weights syncs the lagging params leaf from the arena
+                after = np.asarray(
+                    m.get_weights()["params"]["embedding_dict"]["b0"])
+                return pack, before, after
+        finally:
+            dc_config.set_use_pallas("auto")
+
+    pack, before, after_reg = run(1e-2)
+    _, _, after_noreg = run(0)
+    lo = -(-512 // pack)    # first packed row no id < 512 can reach
+    # packed rows past every touched id: frozen even with reg (lazy L2)
+    np.testing.assert_array_equal(before[lo:], after_reg[lo:])
+    assert np.abs(after_reg[:lo] - before[:lo]).max() > 1e-7
+    # touched rows: L2 changed the trajectory
+    assert np.abs(after_reg[:lo] - after_noreg[:lo]).max() > 1e-7
+
+
 def test_sparse_true_with_optax_instance_warns_and_falls_back():
     import optax
     import warnings as _w

@@ -100,12 +100,69 @@ def main():
         acc = acc + sum(probes)
         return (params, ts, os_, acc)
 
+    def v_fwd(i, carry):
+        params, ts, os_, acc = carry
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+        loss = data_loss_of(p_sub, Xs, jax.random.fold_in(key, i))
+        return (params, ts, os_, acc + loss)
+
+    def v_update(i, carry):
+        # transform + row_update with a synthetic gradient (no autodiff):
+        # isolates the update machinery; subtract the transform variant
+        # for the net scatter/gather/math cost
+        params, ts, os_, acc = carry
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+        grads = jax.tree_util.tree_map(
+            lambda t: jnp.full_like(t, 1e-6), p_sub)
+        new_params, new_ts = row_update(params, ts, grads, aux)
+        probe = jax.tree_util.tree_leaves(new_ts)[0].reshape(-1)[0]
+        return (new_params, new_ts, os_, acc + probe.astype(jnp.float32))
+
     def v_full(i, carry):
         params, ts, os_, acc = carry
         rng = jax.random.fold_in(key, i)
         params, os_, ts, _, _, total, _ = model._train_step.__wrapped__(
             params, os_, ts, model.batch_stats, rng, X, y, sw)
         return (params, ts, os_, acc + total)
+
+    sparse_paths = {s[0] for s in model._sparse_specs}
+
+    def _apply_dense(params, updates):
+        import optax
+        from deepctr_tpu.models.basemodel import _path_str
+
+        def ap(path, p, u):
+            if _path_str(path) in sparse_paths:
+                return p
+            return optax.apply_updates(p, u)
+        return jax.tree_util.tree_map_with_path(ap, params, updates)
+
+    def v_full_noupd(i, carry):
+        # the production step minus row_update: isolates whether the
+        # "missing" time lives in the table update when composed
+        params, ts, os_, acc = carry
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+        rng = jax.random.fold_in(key, i)
+        total, grads = jax.value_and_grad(
+            lambda p: data_loss_of(p, Xs, rng))(p_sub)
+        updates, os2 = optim.update(grads, os_, p_sub)
+        params = _apply_dense(params, updates)
+        return (params, ts, os2, acc + total)
+
+    def v_upd_in_ctx(i, carry):
+        # transform + REAL grads + row_update, no optax: the update with
+        # its true in-step inputs (autodiff gradients, not synthetic)
+        params, ts, os_, acc = carry
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+        rng = jax.random.fold_in(key, i)
+        total, grads = jax.value_and_grad(
+            lambda p: data_loss_of(p, Xs, rng))(p_sub)
+        new_params, new_ts = row_update(params, ts, grads, aux)
+        return (new_params, new_ts, os_, acc + total)
 
     def v_dense(i, carry):
         params, ts, os_, acc = carry
@@ -116,10 +173,16 @@ def main():
         acc = acc + sum(probes)
         return (params, ts, os_, acc)
 
-    variants = {"transform": v_transform, "fwdbwd": v_fwdbwd,
+    variants = {"transform": v_transform, "fwd": v_fwd,
+                "fwdbwd": v_fwdbwd, "update": v_update,
+                "full_noupd": v_full_noupd, "upd_in_ctx": v_upd_in_ctx,
                 "full": v_full}
     if os.environ.get("ABLATE_DENSE"):
         variants["dense_fwdbwd"] = v_dense
+    only = os.environ.get("ABLATE_ONLY")
+    if only:
+        keep = set(only.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     for name, fn in variants.items():
         run = fori(fn)
