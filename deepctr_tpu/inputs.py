@@ -127,8 +127,15 @@ class EmbeddingDict(nn.Module):
             used = (rows128[:, :pack * width] if pack * width < 128
                     else rows128)
             rows3 = used.reshape(n, pack, width)
-            sel = (flat % pack)[:, None, None]
-            rows = jnp.take_along_axis(rows3, sel, axis=1)[:, 0]
+            # lane select as a one-hot multiply + sum over the (tiny)
+            # pack axis: take_along_axis here lowers to a per-ELEMENT
+            # gather whose transpose is a per-element scatter — both
+            # serial on TPU; the mask form is pure VPU work in both
+            # directions (pack <= 128 so the extra multiplies are noise)
+            sel_oh = (jnp.arange(pack, dtype=jnp.int32)[None, :]
+                      == (flat % pack)[:, None])
+            rows = jnp.sum(rows3 * sel_oh[:, :, None].astype(rows3.dtype),
+                           axis=1)
         return rows.reshape(ids.shape + (width,))
 
     def __call__(self, name, ids):

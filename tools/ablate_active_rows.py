@@ -100,6 +100,18 @@ def main():
         acc = acc + sum(probes)
         return (params, ts, os_, acc)
 
+    def v_fwdbwd_all(i, carry):
+        # like fwdbwd but consumes EVERY grad leaf: the 4-leaf probe lets
+        # XLA dead-code-eliminate the table-grad transposes, hiding them
+        params, ts, os_, acc = carry
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+        g = jax.grad(lambda p: data_loss_of(p, Xs, jax.random.fold_in(
+            key, i)))(p_sub)
+        acc = acc + sum(t.reshape(-1)[0].astype(jnp.float32)
+                        for t in jax.tree_util.tree_leaves(g))
+        return (params, ts, os_, acc)
+
     def v_fwd(i, carry):
         params, ts, os_, acc = carry
         Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
@@ -174,7 +186,8 @@ def main():
         return (params, ts, os_, acc)
 
     variants = {"transform": v_transform, "fwd": v_fwd,
-                "fwdbwd": v_fwdbwd, "update": v_update,
+                "fwdbwd": v_fwdbwd, "fwdbwd_all": v_fwdbwd_all,
+                "update": v_update,
                 "full_noupd": v_full_noupd, "upd_in_ctx": v_upd_in_ctx,
                 "full": v_full}
     if os.environ.get("ABLATE_DENSE"):
