@@ -412,7 +412,15 @@ class BaseModel(object):
           scatter_pooled   — per-table storage, pooled launch (314.9k —
             the stacked vals copy costs an extra HBM round trip);
           fused            — per-table read-modify-write kernel (287.2k —
-            2 pair-DMAs per row vs scatter's 1)."""
+            2 pair-DMAs per row vs scatter's 1);
+          scatter_pair     — like scatter, but the transform fetches the
+            (w, acc) pair with ONE [R, 2, 128]-form gather per table
+            instead of a w gather in transform + an acc gather in
+            row_update (205.3k vs a 440.9k same-session scatter control
+            — the pair-form gather + the [:, 0]/[:, 1] slices it forces
+            lower pathologically; flat per-table row gathers already run
+            at batched-gather bandwidth, so gather-op count was never
+            the bound)."""
         return _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
 
     def _build_table_state(self):
@@ -658,7 +666,15 @@ class BaseModel(object):
                         # (harmless: nothing reads their slice values);
                         # post-clip indices are still sorted but no longer
                         # unique, so only the sorted promise is made here
-                        if combined:
+                        acc_small = None
+                        if combined and update_mode == "scatter_pair":
+                            # ONE pair-form gather fetches w AND acc rows
+                            # together (vs w here + acc in row_update)
+                            prs = st["combined"].reshape(-1, 2, 128).at[
+                                urows].get(mode="clip",
+                                           indices_are_sorted=True)
+                            small, acc_small = prs[:, 0, :], prs[:, 1, :]
+                        elif combined:
                             # authoritative weights live in the
                             # interleaved (w, acc) buffer at EVEN physical
                             # rows; the params leaf lags during training
@@ -670,7 +686,7 @@ class BaseModel(object):
                             small = w.at[urows].get(
                                 mode="clip",
                                 indices_are_sorted=True)   # [n, width]
-                        aux[path] = (urows, n_valid, small)
+                        aux[path] = (urows, n_valid, small, acc_small)
                     params = _set_path(params, path, small)
                     proxy = inv[g] * pack + ids % pack if pack > 1 \
                         else inv[g]
@@ -734,7 +750,7 @@ class BaseModel(object):
                     continue
                 w = _get_path(params, path)
                 g = _get_path(grads, path)                     # [n, width]
-                rows, n_valid, w_rows_cached = aux[path]
+                rows, n_valid, w_rows_cached, acc_cached = aux[path]
                 st = table_state.get(path)
                 if (isinstance(st, dict) and "combined" in st
                         and combined_update_supported(st["combined"], g,
@@ -758,8 +774,10 @@ class BaseModel(object):
                     #     in-kernel roll/mask compute).
                     if update_mode.startswith("scatter"):
                         comb = st["combined"]
-                        acc_rows = comb.at[rows * 2 + 1].get(
-                            mode="clip", indices_are_sorted=True)
+                        acc_rows = (acc_cached if acc_cached is not None
+                                    else comb.at[rows * 2 + 1].get(
+                                        mode="clip",
+                                        indices_are_sorted=True))
                         w_rows = w_rows_cached.astype(jnp.float32)
                         gp = g.astype(jnp.float32) \
                             + 2.0 * l2_vec[None, :] * w_rows

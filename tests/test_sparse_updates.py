@@ -289,3 +289,46 @@ def test_sparse_contested_span_falls_back_dense():
                   sparse_table_updates=True)
     assert m._sparse_specs == []
     m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+
+def test_scatter_pair_update_matches_dense(monkeypatch):
+    """scatter_pair mode (the transform fetches each combined table's
+    (w, acc) rows with ONE pair-form gather; row_update skips its acc
+    gather) must reproduce the dense trajectory exactly (reg off).  Runs
+    the real write-only scatter kernel in Mosaic interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_UPDATE_MODE", "scatter_pair")
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"b0": rng.integers(0, V, N), "b1": rng.integers(0, V, N),
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("b0", V, 16), SparseFeat("b1", V, 16),
+            DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        if sparse:
+            dc_config.set_use_pallas(True)
+            try:
+                with pltpu.force_tpu_interpret_mode():
+                    m.compile("adagrad", "binary_crossentropy",
+                              sparse_table_updates=True)
+                    assert any(
+                        isinstance(st, dict) and "combined" in st
+                        for st in m.table_state.values()), "no combined"
+                    m.fit(x, y, batch_size=64, epochs=2, verbose=0,
+                          shuffle=False)
+                    return m.predict(x, 64)
+            finally:
+                dc_config.set_use_pallas("auto")
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=False)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
