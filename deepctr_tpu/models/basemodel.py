@@ -561,9 +561,17 @@ class BaseModel(object):
         lr = self._learning_rate
         arena_bases = dict(self._arena_bases)
         update_mode = self._update_mode()
+        # Materialize each substituted slice ONCE.  Without the barrier
+        # XLA composes the transform's combined-buffer gather into every
+        # downstream lookup (gather-of-gather), re-reading the full-table
+        # buffer with UNSORTED batch indices per consumer — measured
+        # ~2.3ms of a 3.2ms forward at vocab 1M (tools/fwd_bisect.py:
+        # `emb` 3.21ms vs 26 isolated take+select chains at 0.26ms).
+        use_barrier = _os.environ.get("DEEPCTR_SUBST_BARRIER", "1") != "0"
 
         def transform(params, table_state, X):
             aux = {}
+            rewrites = []   # (start, end, [B, width] proxy cols)
             # per-spec (packed-)row vectors, grouped by length so ALL
             # tables of a group dedup through ONE batched sort — 26
             # separate 4k sorts measured as the dominant active-rows cost
@@ -641,6 +649,8 @@ class BaseModel(object):
                     pairs = arena_buf.reshape(-1, 2, 128).at[gth].get(
                         mode="clip", indices_are_sorted=True)
                     W_arena, A_arena = pairs[:, 0, :], pairs[:, 1, :]
+                    if use_barrier:
+                        W_arena = jax.lax.optimization_barrier(W_arena)
                     nvs = jnp.stack(
                         [n_unique[g, 0] - (1 if group[g][5] else 0)
                          for g in arena_sel])
@@ -686,6 +696,8 @@ class BaseModel(object):
                             small = w.at[urows].get(
                                 mode="clip",
                                 indices_are_sorted=True)   # [n, width]
+                        if use_barrier:
+                            small = jax.lax.optimization_barrier(small)
                         aux[path] = (urows, n_valid, small, acc_small)
                     params = _set_path(params, path, small)
                     proxy = inv[g] * pack + ids % pack if pack > 1 \
@@ -696,8 +708,23 @@ class BaseModel(object):
                         width = e - s
                         chunk = proxy[off:off + X.shape[0] * width]
                         off += X.shape[0] * width
-                        X = X.at[:, s:e].set(
-                            chunk.reshape(X.shape[0], width).astype(X.dtype))
+                        rewrites.append((s, e, chunk.reshape(
+                            X.shape[0], width).astype(X.dtype)))
+            # apply every span rewrite in ONE concatenate: the serial
+            # chain of 26 lane-offset dynamic-update-slices on [B, cols]
+            # this replaces was ~2ms/step at vocab 1M (hidden from the
+            # transform-only ablation probe by DCE — tools/fwd_bisect.py)
+            rewrites.sort(key=lambda r: r[0])
+            pieces, cur = [], 0
+            for s, e, chunk in rewrites:
+                if s > cur:
+                    pieces.append(X[:, cur:s])
+                pieces.append(chunk)
+                cur = e
+            if cur < X.shape[1]:
+                pieces.append(X[:, cur:])
+            if rewrites:
+                X = jnp.concatenate(pieces, axis=1)
             return params, X, aux
 
         def _get_rows(arr, rows):
@@ -1008,6 +1035,14 @@ class BaseModel(object):
             if feat is not None:
                 a = self._hash_feature(feat, a)
             arrays.append(np.asarray(a, dtype=np.float32))
+        lens = {a.shape[0] for a in arrays}
+        if len(lens) > 1:
+            detail = ", ".join(
+                "%s: %d" % (n, a.shape[0])
+                for n, a in zip(self.feature_index, arrays))
+            raise ValueError(
+                "input features have inconsistent sample counts (%s)"
+                % detail)
         X = native.assemble(arrays)
         if X.shape[1] != self.input_dim:
             raise ValueError("input width %d != expected %d"
@@ -1103,6 +1138,10 @@ class BaseModel(object):
         y = jnp.asarray(y, jnp.float32)
         if y.ndim == 1:
             y = y[:, None]
+        if y.shape[0] != X.shape[0]:
+            raise ValueError(
+                "x and y have different sample counts: %d vs %d"
+                % (X.shape[0], y.shape[0]))
 
         do_validation = False
         val_x, val_y = [], []
@@ -1340,6 +1379,10 @@ class BaseModel(object):
         y = np.asarray(y, dtype=np.float32)
         if y.ndim == 1:
             y = y[:, None]
+        if y.shape[0] != X.shape[0]:
+            raise ValueError(
+                "x and y have different sample counts: %d vs %d"
+                % (X.shape[0], y.shape[0]))
 
         if batch_size is None:
             batch_size = 256

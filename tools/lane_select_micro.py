@@ -40,7 +40,7 @@ import jax.numpy as jnp
 G = 26
 B = 4096
 N = 5120            # substituted-slice rows
-W = 16              # logical width
+W = int(os.environ.get("SEL_WIDTH", 16))   # 17 = the fused-wide width
 PACK = 128 // W
 STEPS = 30
 
@@ -68,7 +68,8 @@ Q_CONST = (jnp.arange(128)[:, None] % W
 
 
 def sel_reshape(rows128, lane):
-    rows3 = rows128.reshape(rows128.shape[0], PACK, W)
+    used = (rows128[:, :PACK * W] if PACK * W < 128 else rows128)
+    rows3 = used.reshape(rows128.shape[0], PACK, W)
     oh = (jnp.arange(PACK, dtype=jnp.int32)[None, :] == lane[:, None])
     return jnp.sum(rows3 * oh[:, :, None].astype(rows3.dtype), axis=1)
 
