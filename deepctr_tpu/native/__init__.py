@@ -77,6 +77,14 @@ def assemble(arrays):
     lib = _load()
     arrays = [np.ascontiguousarray(a, dtype=np.float32) for a in arrays]
     rows = arrays[0].shape[0]
+    # the C++ kernel reads `rows` rows from EVERY source — a shorter
+    # array would be read out of bounds, so mismatches must fail here
+    bad = [i for i, a in enumerate(arrays) if a.shape[0] != rows]
+    if bad:
+        raise ValueError(
+            "assemble: all arrays must have the same number of rows; "
+            "array 0 has %d but array %d has %d"
+            % (rows, bad[0], arrays[bad[0]].shape[0]))
     widths = np.array([a.shape[1] for a in arrays], dtype=np.int32)
     total = int(widths.sum())
     if lib is None:

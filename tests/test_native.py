@@ -21,6 +21,27 @@ def test_assemble_matches_numpy():
     np.testing.assert_array_equal(got, np.concatenate(arrays, axis=1))
 
 
+def test_assemble_rejects_mismatched_rows():
+    rng = np.random.default_rng(0)
+    arrays = [rng.random((100, 2)).astype(np.float32),
+              rng.random((99, 2)).astype(np.float32)]
+    with pytest.raises(ValueError, match="same number of rows"):
+        native.assemble(arrays)
+
+
+def test_fit_rejects_mismatched_feature_lengths():
+    # a short feature array used to reach the C++ batcher, which reads
+    # rows[0] rows from EVERY source — out-of-bounds; must raise instead
+    rng = np.random.default_rng(0)
+    cols = [SparseFeat("C1", 10, 4), SparseFeat("C2", 10, 4)]
+    m = DeepFM(cols, cols)
+    m.compile("adagrad", "binary_crossentropy")
+    x = {"C1": rng.integers(0, 10, 64), "C2": rng.integers(0, 10, 32)}
+    y = rng.integers(0, 2, 64).astype("float32")
+    with pytest.raises(ValueError, match="inconsistent sample counts"):
+        m.fit(x, y, batch_size=32, epochs=1, verbose=0)
+
+
 def test_take_rows_matches_numpy():
     rng = np.random.default_rng(0)
     m = rng.random((500, 17)).astype(np.float32)
