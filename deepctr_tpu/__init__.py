@@ -18,6 +18,7 @@ from .callbacks import History, EarlyStopping, ModelCheckpoint
 from .utils.serialization import load_model, save_model
 from . import layers
 from . import models
+from . import serving
 from .data import criteo_stream, criteo_columns
 
 __version__ = "0.1.0"
