@@ -218,6 +218,35 @@ class BaseModel(object):
             return total
         return reg_fn
 
+    def get_regularization_loss(self):
+        """Current explicit L1/L2 penalty over the live parameters, as a
+        python float.  (reference parity: basemodel.py:412-428 — there it
+        is summed eagerly every step; here the same function is fused
+        into the jitted loss, and this accessor evaluates it on demand.)
+
+        Note: tables on the sparse-update path apply their regularization
+        lazily inside the row update; their contribution is therefore not
+        part of this eager sum (see _build_reg_fn)."""
+        return float(self._build_reg_fn()(self.params))
+
+    def input_from_feature_columns(self, x, feature_columns=None):
+        """Embed a raw input dict/list/matrix: returns
+        ``(sparse_embedding_list, dense_value_list)`` as numpy arrays —
+        each embedding ``[N, 1, E]``, each dense ``[N, d]``.  The hook
+        reference users call when composing custom architectures
+        (reference parity: basemodel.py:354-380)."""
+        if feature_columns is None:
+            feature_columns = self.module.dnn_feature_columns
+        X = jnp.asarray(self._assemble_x(x))
+        variables = {"params": self.params}
+        if jax.tree_util.tree_leaves(self.batch_stats):
+            variables["batch_stats"] = self.batch_stats
+        se, dv = self.module.apply(
+            variables, X, tuple(feature_columns),
+            method=lambda mod, X, cols: mod.input_from_feature_columns(
+                X, cols))
+        return ([np.asarray(e) for e in se], [np.asarray(d) for d in dv])
+
     # ------------------------------------------------------------------
     # compile
     # ------------------------------------------------------------------
