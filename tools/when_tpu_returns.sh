@@ -1,0 +1,27 @@
+#!/bin/bash
+# Poll until the axon TPU tunnel answers, then run the queued experiments.
+# Each probe runs in a subprocess under `timeout` (the tunnel hang cannot
+# be interrupted any other way).  Results append to $LOG.
+LOG=${LOG:-/tmp/tpu_queue.log}
+echo "[watcher] start $(date)" >> "$LOG"
+while true; do
+  if timeout 90 python -c "
+import jax, jax.numpy as jnp
+jax.jit(lambda x: x*2)(jnp.ones(4)).sum().item()" >/dev/null 2>&1; then
+    echo "[watcher] TPU back $(date)" >> "$LOG"
+    break
+  fi
+  sleep 240
+done
+cd /root/repo
+{
+  echo "=== fwd_bisect transform_sub,lookup_only $(date)"
+  BENCH_VOCAB=1000000 BISECT_ONLY=transform_sub,lookup_only \
+    timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
+  echo "=== ablate_active_rows $(date)"
+  BENCH_VOCAB=1000000 timeout 2400 python tools/ablate_active_rows.py \
+    2>&1 | grep -v axon
+  echo "=== bench.py all configs $(date)"
+  timeout 3600 python bench.py 2>&1 | grep -v axon
+  echo "=== done $(date)"
+} >> "$LOG" 2>&1
