@@ -10,11 +10,18 @@ Every lookup is a static column slice of the flat input matrix + int cast +
 gather; there is no dynamic shape anywhere on the device path.
 """
 
+import os as _os
 from collections import defaultdict
 from itertools import chain
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# tables at or below this many stored rows get their gather operand cast
+# to the compute dtype (see EmbeddingDict._gather): covers the standard
+# small-vocab regime and the active-rows substituted slices, and stays
+# well under the packed-storage row counts where XLA uses real gathers
+_GATHER_CAST_MAX_ROWS = 65536
 
 from .features import SparseFeat, DenseFeat, VarLenSparseFeat
 from .layers.sequence import masked_pooling
@@ -91,7 +98,18 @@ class EmbeddingDict(nn.Module):
         (deepctr_tpu/parallel/embedding.py) when the table divides the
         'model' axis.  Exchanges apply only to the FULL declared table —
         the active-rows train step substitutes small local slices
-        (basemodel._make_active_rows), which gather locally."""
+        (basemodel._make_active_rows), which gather locally.
+
+        SMALL tables (incl. the active-rows substituted slices) are cast
+        to the compute dtype BEFORE the take: XLA lowers small-table
+        gathers as one-hot MATMULS, and an f32 one-hot matmul runs the
+        MXU at ~1/4 rate — at vocab 1M the 26 substituted [5120, 128]
+        lookups cost ~140 GFLOP/step, the dominant forward cost.
+        Numerically identical to the status quo under bf16 compute (the
+        rows were cast at the first downstream matmul anyway); training
+        table grads still accumulate in f32 (the cast's transpose
+        up-casts).  Full big tables keep f32 real-gathers (casting one
+        would materialize the whole table each step)."""
         from . import config
         mode, mesh, slack = config.embedding_exchange()
         if (mode != "gspmd" and mesh is not None
@@ -101,6 +119,11 @@ class EmbeddingDict(nn.Module):
             if mode == "psum":
                 return psum_lookup(mesh, table, row_ids)
             return a2a_lookup(mesh, table, row_ids, slack=slack)
+        ct = config.compute_dtype()
+        if (table.dtype == jnp.float32 and ct != table.dtype
+                and table.shape[0] <= _GATHER_CAST_MAX_ROWS
+                and _os.environ.get("DEEPCTR_GATHER_CAST", "1") != "0"):
+            table = table.astype(ct)
         return jnp.take(table, row_ids, axis=0)
 
     def _rows(self, name, ids):
