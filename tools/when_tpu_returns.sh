@@ -15,10 +15,13 @@ jax.jit(lambda x: x*2)(jnp.ones(4)).sum().item()" >/dev/null 2>&1; then
 done
 cd /root/repo
 {
-  echo "=== fwd_bisect transform_sub,lookup_only $(date)"
-  BENCH_VOCAB=1000000 BISECT_ONLY=transform_sub,lookup_only \
+  echo "=== fwd_bisect emb+full WITH gather cast $(date)"
+  BENCH_VOCAB=1000000 BISECT_ONLY=transform,emb,full \
     timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
-  echo "=== ablate_active_rows $(date)"
+  echo "=== fwd_bisect emb CONTROL (DEEPCTR_GATHER_CAST=0) $(date)"
+  DEEPCTR_GATHER_CAST=0 BENCH_VOCAB=1000000 BISECT_ONLY=emb \
+    timeout 1200 python tools/fwd_bisect.py 2>&1 | grep -v axon
+  echo "=== ablate_active_rows (cast on) $(date)"
   BENCH_VOCAB=1000000 timeout 2400 python tools/ablate_active_rows.py \
     2>&1 | grep -v axon
   echo "=== bench.py all configs $(date)"
