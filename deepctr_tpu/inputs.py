@@ -100,16 +100,21 @@ class EmbeddingDict(nn.Module):
         the active-rows train step substitutes small local slices
         (basemodel._make_active_rows), which gather locally.
 
-        SMALL tables (incl. the active-rows substituted slices) are cast
-        to the compute dtype BEFORE the take: XLA lowers small-table
-        gathers as one-hot MATMULS, and an f32 one-hot matmul runs the
-        MXU at ~1/4 rate — at vocab 1M the 26 substituted [5120, 128]
-        lookups cost ~140 GFLOP/step, the dominant forward cost.
-        Numerically identical to the status quo under bf16 compute (the
-        rows were cast at the first downstream matmul anyway); training
-        table grads still accumulate in f32 (the cast's transpose
-        up-casts).  Full big tables keep f32 real-gathers (casting one
-        would materialize the whole table each step)."""
+        DEEPCTR_GATHER_CAST=1 (opt-in until the end-to-end A/B lands —
+        tools/when_tpu_returns.sh): SMALL tables (incl. the active-rows
+        substituted slices) are cast to the compute dtype BEFORE the
+        take.  XLA lowers small-table gathers as one-hot MATMULS, and an
+        f32 one-hot matmul runs the MXU at ~1/4 rate — at vocab 1M the
+        26 substituted [5120, 128] lookups cost ~140 GFLOP/step, which
+        matches the otherwise-unexplained ~2.2ms of forward time AND the
+        1.4GB/step XLA cost analysis (tools/fwd_bisect.py).  Numerics
+        trade-off, eyes open: forward values are identical under bf16
+        compute (rows were cast at the first downstream matmul anyway),
+        but the take's VJP then scatter-adds duplicate-id cotangents in
+        bf16 BEFORE the cast-transpose up-casts — hot rows (ids repeated
+        across the batch) accumulate their gradient in bf16 instead of
+        f32.  Full big tables keep f32 real-gathers either way (casting
+        one would materialize the whole table each step)."""
         from . import config
         mode, mesh, slack = config.embedding_exchange()
         if (mode != "gspmd" and mesh is not None
@@ -122,7 +127,7 @@ class EmbeddingDict(nn.Module):
         ct = config.compute_dtype()
         if (table.dtype == jnp.float32 and ct != table.dtype
                 and table.shape[0] <= _GATHER_CAST_MAX_ROWS
-                and _os.environ.get("DEEPCTR_GATHER_CAST", "1") != "0"):
+                and _os.environ.get("DEEPCTR_GATHER_CAST", "0") == "1"):
             table = table.astype(ct)
         return jnp.take(table, row_ids, axis=0)
 

@@ -237,6 +237,7 @@ class BaseModel(object):
         (reference parity: basemodel.py:354-380)."""
         if feature_columns is None:
             feature_columns = self.module.dnn_feature_columns
+        self._sync_params()   # sparse-update tables may lag after fit
         X = jnp.asarray(self._assemble_x(x))
         variables = {"params": self.params}
         if jax.tree_util.tree_leaves(self.batch_stats):
@@ -590,13 +591,15 @@ class BaseModel(object):
         lr = self._learning_rate
         arena_bases = dict(self._arena_bases)
         update_mode = self._update_mode()
-        # Materialize each substituted slice ONCE.  Without the barrier
-        # XLA composes the transform's combined-buffer gather into every
-        # downstream lookup (gather-of-gather), re-reading the full-table
-        # buffer with UNSORTED batch indices per consumer — measured
-        # ~2.3ms of a 3.2ms forward at vocab 1M (tools/fwd_bisect.py:
-        # `emb` 3.21ms vs 26 isolated take+select chains at 0.26ms).
-        use_barrier = _os.environ.get("DEEPCTR_SUBST_BARRIER", "1") != "0"
+        # DEEPCTR_SUBST_BARRIER=1 (opt-in): optimization_barrier on each
+        # substituted slice, forcing XLA to materialize it once instead
+        # of composing the combined-buffer gather into every downstream
+        # lookup.  Tested as a gather-of-gather fix for the big-vocab
+        # forward gap and measured ~NO-OP (fwd_bisect emb 3.19 vs 3.30ms
+        # at vocab 1M — PLAN.md); kept only as an ablation knob.  The
+        # actual suspect is the f32 one-hot-matmul gather lowering, see
+        # EmbeddingDict._gather / DEEPCTR_GATHER_CAST.
+        use_barrier = _os.environ.get("DEEPCTR_SUBST_BARRIER", "0") == "1"
 
         def transform(params, table_state, X):
             aux = {}
@@ -739,10 +742,11 @@ class BaseModel(object):
                         off += X.shape[0] * width
                         rewrites.append((s, e, chunk.reshape(
                             X.shape[0], width).astype(X.dtype)))
-            # apply every span rewrite in ONE concatenate: the serial
-            # chain of 26 lane-offset dynamic-update-slices on [B, cols]
-            # this replaces was ~2ms/step at vocab 1M (hidden from the
-            # transform-only ablation probe by DCE — tools/fwd_bisect.py)
+            # apply every span rewrite in ONE concatenate instead of a
+            # serial chain of 26 lane-offset dynamic-update-slices on
+            # [B, cols] (measured: a modest 3.21 -> 3.05ms on the
+            # fwd_bisect emb probe at vocab 1M; kept for the op-count
+            # and dependency-chain reduction)
             rewrites.sort(key=lambda r: r[0])
             pieces, cur = [], 0
             for s, e, chunk in rewrites:

@@ -30,6 +30,9 @@ __all__ = ["export_predict", "save_exported", "load_exported"]
 
 
 def _predict_fn(model):
+    # combined-storage sparse-update tables leave model.params lagging
+    # after fit(); sync before baking weights in (as predict does)
+    model._sync_params()
     forward = model._make_forward()
     params = model.params
     batch_stats = model.batch_stats

@@ -1,13 +1,25 @@
 """Dump the OPTIMIZED HLO of the fwd_bisect `emb` probe to a file.
 
+*** WARNING (recorded outage, 2026-08-17): pulling a multi-MB
+``compiled.as_text()`` through the ~KB/s axon tunnel took >10 min and the
+timed-out kill left the TUNNEL DEAD for hours.  Do NOT run this against
+the axon backend unless you accept that risk; it refuses to start
+without EMB_HLO_I_ACCEPT_TUNNEL_RISK=1.  Safe on a local CPU/TPU
+backend. ***
+
 The axon tunnel compiles remotely, so --xla_dump_to never writes locally;
 ``compiled.as_text()`` round-trips the optimized module instead.
 
-Usage: BENCH_VOCAB=1000000 python tools/emb_hlo.py /tmp/emb.hlo
+Usage: EMB_HLO_I_ACCEPT_TUNNEL_RISK=1 BENCH_VOCAB=1000000 \
+    python tools/emb_hlo.py /tmp/emb.hlo
 """
 
 import os
 import sys
+
+if os.environ.get("EMB_HLO_I_ACCEPT_TUNNEL_RISK") != "1":
+    sys.exit("refusing: as_text() through the axon tunnel killed it once "
+             "(see docstring); set EMB_HLO_I_ACCEPT_TUNNEL_RISK=1 to run")
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))

@@ -16,15 +16,25 @@ done
 cd /root/repo
 {
   echo "=== fwd_bisect emb+full WITH gather cast $(date)"
-  BENCH_VOCAB=1000000 BISECT_ONLY=transform,emb,full \
+  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 BISECT_ONLY=transform,emb,full \
     timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
-  echo "=== fwd_bisect emb CONTROL (DEEPCTR_GATHER_CAST=0) $(date)"
-  DEEPCTR_GATHER_CAST=0 BENCH_VOCAB=1000000 BISECT_ONLY=emb \
+  echo "=== fwd_bisect emb CONTROL (cast off) $(date)"
+  BENCH_VOCAB=1000000 BISECT_ONLY=emb \
     timeout 1200 python tools/fwd_bisect.py 2>&1 | grep -v axon
-  echo "=== ablate_active_rows (cast on) $(date)"
-  BENCH_VOCAB=1000000 timeout 2400 python tools/ablate_active_rows.py \
-    2>&1 | grep -v axon
-  echo "=== bench.py all configs $(date)"
-  timeout 3600 python bench.py 2>&1 | grep -v axon
+  echo "=== fwd_bisect transform_sub,lookup_only (cast off) $(date)"
+  BENCH_VOCAB=1000000 BISECT_ONLY=transform_sub,lookup_only \
+    timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
+  echo "=== ablate_active_rows WITH gather cast $(date)"
+  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 \
+    timeout 2400 python tools/ablate_active_rows.py 2>&1 | grep -v axon
+  echo "=== bench.py vocab-1M A/B: cast on vs off $(date)"
+  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
+    timeout 1800 python bench.py 2>&1 | grep -v axon
+  BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
+    timeout 1800 python bench.py 2>&1 | grep -v axon
+  echo "=== bench.py standard A/B: cast on vs off $(date)"
+  DEEPCTR_GATHER_CAST=1 BENCH_EXTRAS=0 \
+    timeout 1800 python bench.py 2>&1 | grep -v axon
+  BENCH_EXTRAS=0 timeout 1800 python bench.py 2>&1 | grep -v axon
   echo "=== done $(date)"
 } >> "$LOG" 2>&1
