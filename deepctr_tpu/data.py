@@ -37,9 +37,11 @@ def criteo_stream(path, feature_columns, chunk_rows=262144, sep=None,
     hashed id / log1p-transformed columns.  Pass the callable straight to
     ``model.fit(x=..., batch_size=...)`` (see BaseModel._fit_stream).
 
-    ``sep`` defaults by extension: '\\t' for .tsv/.txt full-dataset dumps
-    without a header line, ',' otherwise; a leading ``label,...`` header
-    row is skipped automatically.
+    ``sep=None`` SNIFFS the first line's bytes: '\\t' when it contains a
+    tab and no comma, ',' otherwise.  Pass ``sep`` explicitly for files
+    the sniff could misread (e.g. a TSV whose first row embeds commas
+    inside field values).  A leading ``label,...`` header row is skipped
+    automatically.
     """
     sparse_names = [f.name for f in feature_columns
                     if isinstance(f, SparseFeat)]

@@ -591,6 +591,11 @@ class BaseModel(object):
         lr = self._learning_rate
         arena_bases = dict(self._arena_bases)
         update_mode = self._update_mode()
+        # row-sharded tables must NOT enter a pallas_call: GSPMD has to
+        # replicate a custom call's operands (a full-table all-gather per
+        # step, plus a silently dropped donation) — XLA's scatter keeps
+        # the P('model', None) sharding instead
+        sharded_tables = self.mesh is not None and self.shard_embeddings
         # DEEPCTR_SUBST_BARRIER=1 (opt-in): optimization_barrier on each
         # substituted slice, forcing XLA to materialize it once instead
         # of composing the combined-buffer gather into every downstream
@@ -859,6 +864,7 @@ class BaseModel(object):
                                 lr, _ADAGRAD_EPS)}
                     continue
                 if (dc_config.use_pallas()
+                        and not sharded_tables
                         and opt_name in ("sgd", "adagrad")
                         and row_update_supported(w, g, rows)):
                     # fused RMW kernel: one windowed-DMA pass over the
@@ -1203,12 +1209,17 @@ class BaseModel(object):
             X, y, sw = self._put_batch(X, y, sw)
         n_out = self.num_tasks
         do_shuffle = bool(shuffle)
+        # epoch-long predictions are only read for train metrics; without
+        # them the per-step [B, n_out] scatter and the [n_pad, n_out]
+        # carry would survive in the hot loop (outputs can't be DCE'd)
+        need_preds = bool(verbose > 0 and self.metrics)
 
         # A fresh closure per fit() call would defeat jax.jit's cache and
         # recompile the whole epoch every call (20-60s through the axon
         # tunnel) — cache the jitted runner per static epoch geometry;
         # _ensure_compiled resets the cache when the step fn changes.
-        runner_key = (B, steps_per_epoch, n_pad, do_shuffle, n_out)
+        runner_key = (B, steps_per_epoch, n_pad, do_shuffle, n_out,
+                      need_preds)
         run_epoch = self._epoch_runners.get(runner_key)
         if run_epoch is None:
             @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -1227,13 +1238,15 @@ class BaseModel(object):
                     p, o, ts, bs, data_loss, total, y_pred = step(
                         p, o, ts, bs, rng_i, xb, yb, swb)
                     losses = losses.at[i].set(total)
-                    preds = preds.at[idx].set(
-                        y_pred.reshape(B, -1).astype(jnp.float32))
+                    if need_preds:
+                        preds = preds.at[idx].set(
+                            y_pred.reshape(B, -1).astype(jnp.float32))
                     return (p, o, ts, bs, losses, preds)
 
                 init = (params, opt_state, table_state, batch_stats,
                         jnp.zeros((steps_per_epoch,), jnp.float32),
-                        jnp.zeros((n_pad, n_out), jnp.float32))
+                        jnp.zeros((n_pad, n_out) if need_preds else (),
+                                  jnp.float32))
                 return jax.lax.fori_loop(0, steps_per_epoch, body, init)
 
             self._epoch_runners[runner_key] = run_epoch
@@ -1308,51 +1321,58 @@ class BaseModel(object):
             start_time = time.time()
             total_loss_epoch, sample_num, steps = 0.0, 0, 0
             train_result = {}
-            for x_chunk, y_chunk in make_iter():
-                X = self._assemble_x(x_chunk)
-                yc = np.asarray(y_chunk, dtype=np.float32)
-                if yc.ndim == 1:
-                    yc = yc[:, None]
-                if shuffle:
-                    order = rng_shuffle.permutation(len(X))
-                    X, yc = X[order], yc[order]
-                for lo in range(0, len(X), batch_size):
+            try:
+                for x_chunk, y_chunk in make_iter():
+                    X = self._assemble_x(x_chunk)
+                    yc = np.asarray(y_chunk, dtype=np.float32)
+                    if yc.ndim == 1:
+                        yc = yc[:, None]
+                    if shuffle:
+                        order = rng_shuffle.permutation(len(X))
+                        X, yc = X[order], yc[order]
+                    for lo in range(0, len(X), batch_size):
+                        if steps_per_epoch and steps >= steps_per_epoch:
+                            break
+                        xb = X[lo:lo + batch_size]
+                        yb = yc[lo:lo + batch_size]
+                        n_valid = len(xb)
+                        if n_valid < batch_size:
+                            pad = batch_size - n_valid
+                            xb = np.concatenate(
+                                [xb,
+                                 np.zeros((pad, X.shape[1]), np.float32)])
+                            yb = np.concatenate(
+                                [yb,
+                                 np.zeros((pad, yb.shape[1]), np.float32)])
+                        sw = np.zeros(batch_size, np.float32)
+                        sw[:n_valid] = 1.0
+                        rng = jax.random.fold_in(base_rng, global_step)
+                        xb, yb, swb = self._put_batch(xb, yb, sw)
+                        (self.params, self.opt_state, self.table_state,
+                         self.batch_stats, _, total_loss,
+                         y_pred) = self._train_step(
+                            self.params, self.opt_state, self.table_state,
+                            self.batch_stats, rng, xb, yb, swb)
+                        global_step += 1
+                        steps += 1
+                        sample_num += n_valid
+                        total_loss_epoch += float(total_loss)
+                        if verbose > 0 and self.metrics:
+                            y_np = np.asarray(yb)[:n_valid]
+                            p_np = np.asarray(y_pred).astype(
+                                "float64")[:n_valid]
+                            if self.num_tasks == 1:
+                                y_np, p_np = (y_np.reshape(-1),
+                                              p_np.reshape(-1))
+                            for name, metric_fun in self.metrics.items():
+                                train_result.setdefault(name, []).append(
+                                    metric_fun(y_np, p_np))
                     if steps_per_epoch and steps >= steps_per_epoch:
                         break
-                    xb = X[lo:lo + batch_size]
-                    yb = yc[lo:lo + batch_size]
-                    n_valid = len(xb)
-                    if n_valid < batch_size:
-                        pad = batch_size - n_valid
-                        xb = np.concatenate(
-                            [xb, np.zeros((pad, X.shape[1]), np.float32)])
-                        yb = np.concatenate(
-                            [yb, np.zeros((pad, yb.shape[1]), np.float32)])
-                    sw = np.zeros(batch_size, np.float32)
-                    sw[:n_valid] = 1.0
-                    rng = jax.random.fold_in(base_rng, global_step)
-                    xb, yb, swb = self._put_batch(xb, yb, sw)
-                    (self.params, self.opt_state, self.table_state,
-                     self.batch_stats, _, total_loss,
-                     y_pred) = self._train_step(
-                        self.params, self.opt_state, self.table_state,
-                        self.batch_stats, rng, xb, yb, swb)
-                    global_step += 1
-                    steps += 1
-                    sample_num += n_valid
-                    total_loss_epoch += float(total_loss)
-                    if verbose > 0 and self.metrics:
-                        y_np = np.asarray(yb)[:n_valid]
-                        p_np = np.asarray(y_pred).astype(
-                            "float64")[:n_valid]
-                        if self.num_tasks == 1:
-                            y_np, p_np = y_np.reshape(-1), p_np.reshape(-1)
-                        for name, metric_fun in self.metrics.items():
-                            train_result.setdefault(name, []).append(
-                                metric_fun(y_np, p_np))
-                if steps_per_epoch and steps >= steps_per_epoch:
-                    break
-            self._mark_params_stale()
+            finally:
+                # even on interrupt: any steps that ran leave combined-
+                # storage params lagging table_state
+                self._mark_params_stale()
             epoch_logs = {"loss": total_loss_epoch / max(sample_num, 1)}
             for name, result in train_result.items():
                 epoch_logs[name] = np.sum(result) / max(steps, 1)
@@ -1485,9 +1505,13 @@ class BaseModel(object):
                 if hasattr(iterator, "close"):
                     iterator.close()
                 raise
+            finally:
+                # even on interrupt: steps already ran, so the params
+                # leaves of combined-storage tables lag table_state and a
+                # later predict/save must re-sync
+                self._mark_params_stale()
             if hasattr(iterator, "close"):
                 iterator.close()
-            self._mark_params_stale()
 
             epoch_logs["loss"] = total_loss_epoch / sample_num
             for name, result in train_result.items():

@@ -169,9 +169,12 @@ def parse_criteo(buf, n_dense, n_sparse, vocabs, sep=",", log_dense=True,
         max_rows = buf.count(b"\n")
     vocabs = np.ascontiguousarray(
         np.broadcast_to(np.asarray(vocabs, np.int64), (n_sparse,)))
-    y = np.empty((max_rows,), np.float32)
-    dense = np.empty((max_rows, max(n_dense, 1)), np.float32)
-    sparse = np.empty((max_rows, max(n_sparse, 1)), np.float32)
+    # zeros, not empty: the C++ parser writes only the fields PRESENT on
+    # each line, so short/truncated rows must read as 0 (missing-value
+    # semantics, matching the numpy fallback), not uninitialized memory
+    y = np.zeros((max_rows,), np.float32)
+    dense = np.zeros((max_rows, max(n_dense, 1)), np.float32)
+    sparse = np.zeros((max_rows, max(n_sparse, 1)), np.float32)
     if lib is not None:
         consumed = ctypes.c_int64(0)
         rows = lib.dctr_parse_criteo(

@@ -88,9 +88,6 @@ def din_attention_fused(query, keys, mask, layer_params, activation,
         _kernel, n_hidden=n_hidden, activation=activation,
         weight_normalization=weight_normalization, T=T, E=E)
 
-    def const0(*_):
-        return tuple(0 for _ in range(2))
-
     w_specs = [pl.BlockSpec(p.shape, lambda i, s=p.shape: (0,) * len(s),
                             memory_space=pltpu.VMEM)
                for p in flat_params]

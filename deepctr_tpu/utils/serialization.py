@@ -61,6 +61,8 @@ def save_checkpoint(model, directory, include_optimizer=True):
     """Write a train-state checkpoint under ``directory`` (Orbax pytree)."""
     import orbax.checkpoint as ocp
     directory = os.path.abspath(directory)
+    if hasattr(model, "_sync_params"):
+        model._sync_params()   # combined-storage tables lag after fit
     state = {"params": tree_to_numpy(model.params),
              "batch_stats": tree_to_numpy(model.batch_stats)}
     if include_optimizer and getattr(model, "optim", None) is not None:
@@ -86,16 +88,40 @@ def load_checkpoint(model, directory):
     model.set_weights({"params": state["params"],
                        "batch_stats": state.get("batch_stats", {})})
     if "opt_state" in state and getattr(model, "optim", None) is not None:
-        ref = model.opt_state
-        flat_ref, treedef = jax.tree_util.tree_flatten(ref)
-        flat_new = jax.tree_util.tree_leaves(state["opt_state"])
-        model.opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(n) for n in flat_new])
+        model.opt_state = _restore_like(model.opt_state,
+                                        state["opt_state"], "opt_state")
     if "table_state" in state and getattr(model, "optim", None) is not None:
         # restore AFTER set_weights (which re-initializes table_state)
-        ref = model.table_state
-        _, treedef = jax.tree_util.tree_flatten(ref)
-        flat_new = jax.tree_util.tree_leaves(state["table_state"])
-        model.table_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(n) for n in flat_new])
+        model.table_state = _restore_like(
+            model.table_state, state["table_state"], "table_state")
     return model
+
+
+def _restore_like(ref, saved, what):
+    """Rebuild ``ref``'s pytree from ``saved``'s leaves — but only when
+    the leaf count and shapes agree.
+
+    Optimizer-state LAYOUT depends on the compiled optimizer, the
+    backend, and the sparse-update mode (plain acc [R, w] vs interleaved
+    combined [2R, 128] vs arena; adagrad acc vs adam m/v/t).  A blind
+    unflatten of mismatched leaves would silently seed the optimizer
+    from reinterpreted buffers (e.g. a TPU combined checkpoint loaded on
+    a CPU box restores interleaved (w, acc) rows AS the accumulator), so
+    mismatches raise instead."""
+    ref_flat = jax.tree_util.tree_leaves(ref)
+    new_flat = jax.tree_util.tree_leaves(saved)
+    ref_sig = [tuple(np.shape(v)) for v in ref_flat]
+    new_sig = [tuple(np.shape(v)) for v in new_flat]
+    if ref_sig != new_sig:
+        diff = [(a, b) for a, b in zip(ref_sig, new_sig) if a != b]
+        first = ("expected leaf shape %s, checkpoint has %s" % diff[0]
+                 if diff else "%d leaves here vs %d in the checkpoint"
+                 % (len(ref_sig), len(new_sig)))
+        raise ValueError(
+            "checkpointed %s layout does not match this model's (saved "
+            "under a different optimizer / backend / DEEPCTR_UPDATE_MODE "
+            "/ sparse_table_updates setting?): %s. Load under the same "
+            "configuration it was saved with." % (what, first))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(ref),
+        [jnp.asarray(n) for n in new_flat])

@@ -85,3 +85,29 @@ def test_checkpoint_exact_resume_sparse_adagrad(tmp_path):
     m2.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False,
            initial_epoch=2)
     np.testing.assert_allclose(p_cont, m2.predict(x, 64), atol=1e-6)
+
+
+def test_checkpoint_rejects_mismatched_table_state_layout(tmp_path):
+    """A sparse-state checkpoint saved under one optimizer layout must not
+    silently seed a different layout (e.g. adagrad acc arrays restored as
+    lazy-adam moments); the load raises instead."""
+    import pytest
+
+    rng = np.random.default_rng(0)
+    N = 96
+    x = {"c0": rng.integers(0, 50, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 50, 4)]
+
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m.compile("adagrad", "binary_crossentropy", sparse_table_updates=True)
+    assert m._sparse_specs
+    m.fit(x, y, batch_size=32, epochs=1, verbose=0)
+    ckpt = os.path.join(str(tmp_path), "ckpt_layout")
+    m.save_checkpoint(ckpt)
+
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m2.compile("adam", "binary_crossentropy", sparse_table_updates=True)
+    assert m2._sparse_specs
+    with pytest.raises(ValueError, match="layout does not match"):
+        m2.load_checkpoint(ckpt)

@@ -79,6 +79,18 @@ def test_parse_semantics():
     assert c2 == len(buf) and len(y2) == 2
 
 
+def test_parse_short_row_zero_fills():
+    # a truncated/short line must read missing fields as 0 (both paths
+    # used to return np.empty garbage from the native parser)
+    buf = b"1,1,2,a,b\n0,5\n"
+    y, dense, sparse, consumed = native.parse_criteo(
+        buf, 2, 2, [100, 100], log_dense=False)
+    assert consumed == len(buf)
+    np.testing.assert_array_equal(y, [1.0, 0.0])
+    np.testing.assert_allclose(dense[1], [5.0, 0.0])
+    np.testing.assert_array_equal(sparse[1], [0.0, 0.0])
+
+
 def test_log_dense():
     buf = b"0,10,,-3,aa\n"
     _, dense, _, _ = native.parse_criteo(buf, 3, 1, [10], log_dense=True)

@@ -112,3 +112,27 @@ def test_device_resident_fit_validation_and_callbacks():
     # always flow to History for callback monitoring
     assert "val_auc" in h.history
     assert len(h.history["loss"]) <= 4
+
+
+def test_device_resident_fit_with_train_metrics():
+    """verbose>0 + metrics exercises the epoch-preds scatter variant of
+    the device loop (need_preds=True); verbose=0 uses the scatter-free
+    runner.  Both must train identically per-geometry-cache."""
+    import numpy as np
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.default_rng(2)
+    N = 128
+    x = {"c0": rng.integers(0, 50, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 50, 4)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    m.compile("adam", "binary_crossentropy", metrics=["auc"])
+    Xd = m.assemble_device_input(x)
+    h = m.fit(Xd, y, batch_size=64, epochs=2, verbose=1, shuffle=False)
+    assert "auc" in h.history and len(h.history["auc"]) == 2
+    # and the metric-free runner (separate cache entry) still works after
+    n_loss = len(m.history.history["loss"])
+    h2 = m.fit(Xd, y, batch_size=64, epochs=1, verbose=0, shuffle=False)
+    assert len(h2.history["loss"]) == n_loss + 1
