@@ -100,21 +100,27 @@ class EmbeddingDict(nn.Module):
         the active-rows train step substitutes small local slices
         (basemodel._make_active_rows), which gather locally.
 
-        DEEPCTR_GATHER_CAST=1 (opt-in until the end-to-end A/B lands —
-        tools/when_tpu_returns.sh): SMALL tables (incl. the active-rows
-        substituted slices) are cast to the compute dtype BEFORE the
-        take.  XLA lowers small-table gathers as one-hot MATMULS, and an
-        f32 one-hot matmul runs the MXU at ~1/4 rate — at vocab 1M the
-        26 substituted [5120, 128] lookups cost ~140 GFLOP/step, which
-        matches the otherwise-unexplained ~2.2ms of forward time AND the
-        1.4GB/step XLA cost analysis (tools/fwd_bisect.py).  Numerics
-        trade-off, eyes open: forward values are identical under bf16
-        compute (rows were cast at the first downstream matmul anyway),
-        but the take's VJP then scatter-adds duplicate-id cotangents in
-        bf16 BEFORE the cast-transpose up-casts — hot rows (ids repeated
-        across the batch) accumulate their gradient in bf16 instead of
-        f32.  Full big tables keep f32 real-gathers either way (casting
-        one would materialize the whole table each step)."""
+        SMALL-table lowering under bf16 compute (opt-in until the
+        end-to-end A/B lands — tools/when_tpu_returns.sh): XLA lowers
+        small-table gathers as one-hot MATMULS, and an f32 one-hot
+        matmul runs the MXU at ~1/4 the bf16 rate — at vocab 1M the 26
+        active-rows substituted [5120, 128] lookups cost ~140 GFLOP/step
+        of f32 matmul, which matches the otherwise-unexplained ~2.2ms of
+        forward time AND the 1.4GB/step XLA cost analysis
+        (tools/fwd_bisect.py).  DEEPCTR_GATHER_MODE selects:
+
+          off    (default) — plain f32 take; XLA decides everything.
+          cast   — cast the table to bf16 before the take.  bf16-rate
+                   matmul, but the take's VJP then scatter-adds
+                   duplicate-id cotangents in bf16.
+          onehot — explicit bf16 one-hot matmul with f32 ACCUMULATION
+                   (ops/onehot_lookup.py): bf16 rate both directions,
+                   duplicate-id grads still sum in f32.
+
+        Forward values are identical across all three under bf16 compute
+        (rows were cast at the first downstream matmul anyway).  Full
+        big tables keep f32 real-gathers in every mode (casting one
+        would materialize the whole table each step)."""
         from . import config
         mode, mesh, slack = config.embedding_exchange()
         if (mode != "gspmd" and mesh is not None
@@ -125,10 +131,17 @@ class EmbeddingDict(nn.Module):
                 return psum_lookup(mesh, table, row_ids)
             return a2a_lookup(mesh, table, row_ids, slack=slack)
         ct = config.compute_dtype()
-        if (table.dtype == jnp.float32 and ct != table.dtype
-                and table.shape[0] <= _GATHER_CAST_MAX_ROWS
-                and _os.environ.get("DEEPCTR_GATHER_CAST", "0") == "1"):
-            table = table.astype(ct)
+        if (table.dtype == jnp.float32 and ct == jnp.bfloat16
+                and table.shape[0] <= _GATHER_CAST_MAX_ROWS):
+            gmode = _os.environ.get("DEEPCTR_GATHER_MODE", "off")
+            if gmode == "onehot":
+                from .ops.onehot_lookup import onehot_lookup
+                flat = row_ids.reshape(-1)
+                rows = onehot_lookup(table, flat)
+                return rows.reshape(row_ids.shape + (table.shape[1],))
+            if gmode == "cast" or _os.environ.get(
+                    "DEEPCTR_GATHER_CAST") == "1":
+                table = table.astype(ct)
         return jnp.take(table, row_ids, axis=0)
 
     def _rows(self, name, ids):

@@ -1,0 +1,88 @@
+"""Golden tests: ops.onehot_lookup vs the jnp.take oracle.
+
+Forward must equal take(table.astype(bf16), ids) exactly (one bf16
+rounding); the backward must sum duplicate-id cotangents in f32 (the
+whole point vs the cast-before-take variant)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepctr_tpu.ops.onehot_lookup import onehot_lookup
+
+
+def test_forward_matches_take():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((640, 8)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 640, 512), jnp.int32)
+    got = onehot_lookup(table, ids)
+    want = jnp.take(table.astype(jnp.bfloat16), ids, axis=0)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_grad_accumulates_duplicates_in_f32():
+    rng = np.random.default_rng(1)
+    R, W, n = 64, 4, 4096
+    table = jnp.asarray(rng.standard_normal((R, W)), jnp.float32)
+    ids = jnp.zeros((n,), jnp.int32)          # every sample hits row 0
+    cot = jnp.full((n, W), 1e-3, jnp.float32)
+
+    def loss(t):
+        return jnp.sum(onehot_lookup(t, ids).astype(jnp.float32) * cot)
+
+    g = jax.grad(loss)(table)
+    assert g.dtype == jnp.float32
+    # f32 accumulation: n * bf16(1e-3) summed exactly (each term is the
+    # same bf16 value; only the SUM precision is under test)
+    per = np.float32(jnp.asarray(jnp.float32(1e-3)).astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(g[0]), per * n, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g[1:]), 0.0)
+
+
+def test_grad_matches_take_oracle_random():
+    rng = np.random.default_rng(2)
+    R, W, n = 96, 8, 1000
+    table = jnp.asarray(rng.standard_normal((R, W)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, R, n), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((n, W)), jnp.float32)
+
+    def loss_onehot(t):
+        return jnp.sum(onehot_lookup(t, ids).astype(jnp.float32) * cot)
+
+    g1 = jax.grad(loss_onehot)(table)
+    # oracle: per-element bf16 rounding of the cotangent (what the op's
+    # bwd does), then exact f32 segment-sum over duplicate ids
+    cot_b = np.asarray(jnp.asarray(cot).astype(jnp.bfloat16), np.float32)
+    g2 = np.zeros((R, W), np.float32)
+    np.add.at(g2, np.asarray(ids), cot_b)
+    np.testing.assert_allclose(np.asarray(g1), g2, rtol=1e-4, atol=1e-5)
+
+
+def test_embedding_dict_dispatch(monkeypatch):
+    """DEEPCTR_GATHER_MODE=onehot must flow through a real model forward
+    (bf16 compute) and match the default path to bf16 tolerance."""
+    monkeypatch.setenv("DEEPCTR_GATHER_MODE", "off")
+    import numpy as np
+    from deepctr_tpu import config
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.default_rng(3)
+    x = {"C1": rng.integers(0, 40, 64)}
+    cols = [SparseFeat("C1", 40, 8)]
+    config.set_compute_dtype("bfloat16")
+    try:
+        m = DeepFM(cols, cols)
+        m.compile("adagrad", "binary_crossentropy")
+        base = m.predict(x, 64)
+        monkeypatch.setenv("DEEPCTR_GATHER_MODE", "onehot")
+        m2 = DeepFM(cols, cols)
+        m2.compile("adagrad", "binary_crossentropy")
+        m2.set_weights(m.get_weights())
+        m2._predict_fn = None      # force retrace under the new mode
+        got = m2.predict(x, 64)
+    finally:
+        config.set_compute_dtype("float32")
+    np.testing.assert_allclose(got, base, atol=5e-3)

@@ -15,25 +15,29 @@ jax.jit(lambda x: x*2)(jnp.ones(4)).sum().item()" >/dev/null 2>&1; then
 done
 cd /root/repo
 {
-  echo "=== fwd_bisect emb+full WITH gather cast $(date)"
-  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 BISECT_ONLY=transform,emb,full \
+  echo "=== fwd_bisect emb+full gather-mode CAST $(date)"
+  DEEPCTR_GATHER_MODE=cast BENCH_VOCAB=1000000 BISECT_ONLY=transform,emb,full \
     timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
-  echo "=== fwd_bisect emb CONTROL (cast off) $(date)"
+  echo "=== fwd_bisect emb+full gather-mode ONEHOT $(date)"
+  DEEPCTR_GATHER_MODE=onehot BENCH_VOCAB=1000000 BISECT_ONLY=emb,full \
+    timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
+  echo "=== fwd_bisect emb CONTROL (mode off) $(date)"
   BENCH_VOCAB=1000000 BISECT_ONLY=emb \
     timeout 1200 python tools/fwd_bisect.py 2>&1 | grep -v axon
   echo "=== fwd_bisect transform_sub,lookup_only (cast off) $(date)"
   BENCH_VOCAB=1000000 BISECT_ONLY=transform_sub,lookup_only \
     timeout 2400 python tools/fwd_bisect.py 2>&1 | grep -v axon
-  echo "=== ablate_active_rows WITH gather cast $(date)"
-  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 \
-    timeout 2400 python tools/ablate_active_rows.py 2>&1 | grep -v axon
-  echo "=== bench.py vocab-1M A/B: cast on vs off $(date)"
-  DEEPCTR_GATHER_CAST=1 BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
+  echo "=== bench.py vocab-1M A/B: onehot vs cast vs off $(date)"
+  DEEPCTR_GATHER_MODE=onehot BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
+    timeout 1800 python bench.py 2>&1 | grep -v axon
+  DEEPCTR_GATHER_MODE=cast BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
     timeout 1800 python bench.py 2>&1 | grep -v axon
   BENCH_VOCAB=1000000 BENCH_EXTRAS=0 \
     timeout 1800 python bench.py 2>&1 | grep -v axon
-  echo "=== bench.py standard A/B: cast on vs off $(date)"
-  DEEPCTR_GATHER_CAST=1 BENCH_EXTRAS=0 \
+  echo "=== bench.py standard A/B: onehot vs cast vs off $(date)"
+  DEEPCTR_GATHER_MODE=onehot BENCH_EXTRAS=0 \
+    timeout 1800 python bench.py 2>&1 | grep -v axon
+  DEEPCTR_GATHER_MODE=cast BENCH_EXTRAS=0 \
     timeout 1800 python bench.py 2>&1 | grep -v axon
   BENCH_EXTRAS=0 timeout 1800 python bench.py 2>&1 | grep -v axon
   echo "=== done $(date)"
