@@ -29,10 +29,21 @@ import numpy as np
 N_SPARSE = 26
 N_DENSE = 13
 VOCAB = int(os.environ.get("BENCH_VOCAB", 10000))
+VOCABS = None   # per-column override (deepfm_criteo_real config)
 EMB_DIM = 16
 BATCH = 4096
 STEPS = 50
 HIDDEN = (400, 400, 400)
+
+# The 26 categorical cardinalities of the public Criteo Kaggle display-
+# advertising dataset (the reference's canonical recipe at full scale):
+# a mix of tiny one-hot-regime tables (3..305) and multi-million-row
+# packed tables — the production shape both lookup regimes must serve
+# simultaneously.
+CRITEO_KAGGLE_VOCABS = [
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18,
+    15, 286181, 105, 142572]
 
 # Reference DeepFM examples/sec at the same shapes, measured on this host
 # (torch CPU, bench_reference() below, 2026-08-16).
@@ -41,7 +52,9 @@ FALLBACK_REFERENCE_EPS = 21296.0
 
 def _columns():
     from deepctr_tpu.features import SparseFeat, DenseFeat
-    return ([SparseFeat("C%d" % i, VOCAB, EMB_DIM) for i in range(N_SPARSE)]
+    vocabs = VOCABS if VOCABS is not None else [VOCAB] * N_SPARSE
+    return ([SparseFeat("C%d" % i, vocabs[i], EMB_DIM)
+             for i in range(N_SPARSE)]
             + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
 
 
@@ -49,9 +62,10 @@ def _device_batch(key, input_dim, feature_index):
     """Synthesize one flat [BATCH, input_dim] batch on device."""
     import jax
     import jax.numpy as jnp
-    cols = []
     # feature_index order: 26 sparse spans then 13 dense spans
-    ids = jax.random.randint(key, (BATCH, N_SPARSE), 0, VOCAB)
+    vocabs = VOCABS if VOCABS is not None else [VOCAB] * N_SPARSE
+    raw = jax.random.randint(key, (BATCH, N_SPARSE), 0, 1 << 30)
+    ids = raw % jnp.asarray(vocabs, jnp.int32)[None, :]
     dense = jax.random.uniform(key, (BATCH, N_DENSE))
     X = jnp.concatenate([ids.astype(jnp.float32), dense], axis=1)
     y = jax.random.bernoulli(key, 0.25, (BATCH, 1)).astype(jnp.float32)
@@ -59,13 +73,14 @@ def _device_batch(key, input_dim, feature_index):
     return X, y, sw
 
 
-def bench_model(model_cls, vocab=None, steps=None, want_cost=False,
-                **kwargs):
+def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
+                want_cost=False, **kwargs):
     from deepctr_tpu import config as dc_config
     import jax
     import jax.numpy as jnp
 
-    global VOCAB, STEPS
+    global VOCAB, VOCABS, STEPS
+    VOCABS = vocabs
     if vocab is not None:
         VOCAB = vocab
     if steps is not None:
@@ -146,6 +161,19 @@ def bench_reference():
 def main():
     from deepctr_tpu.models import DeepFM, xDeepFM
     which = os.environ.get("BENCH_MODEL", "deepfm")
+    if which == "deepfm_criteo_real":
+        # production shape: real Criteo-Kaggle per-column cardinalities
+        # (33.8M total rows; big tables packed + active-rows updates,
+        # small tables one-hot) — the number full-Criteo training sees
+        eps = bench_model(DeepFM, vocabs=CRITEO_KAGGLE_VOCABS, steps=30,
+                          dnn_hidden_units=HIDDEN)
+        print(json.dumps({
+            "metric": "deepfm_criteo_real_cardinality_train_throughput",
+            "value": round(eps, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(eps / FALLBACK_REFERENCE_EPS, 2),
+        }))
+        return
     if which == "xdeepfm":
         eps = bench_model(xDeepFM, dnn_hidden_units=(400, 400),
                           cin_layer_size=(256, 128))
@@ -187,6 +215,12 @@ def main():
                 cin_layer_size=(256, 128)), 1)
         except Exception as e:
             extras["xdeepfm_eps"] = "error: %s" % e
+        try:
+            extras["deepfm_criteo_real_cardinality_eps"] = round(
+                bench_model(DeepFM, vocabs=CRITEO_KAGGLE_VOCABS, steps=30,
+                            dnn_hidden_units=HIDDEN), 1)
+        except Exception as e:
+            extras["deepfm_criteo_real_cardinality_eps"] = "error: %s" % e
         record["extras"] = extras
     print(json.dumps(record))
 
