@@ -40,5 +40,8 @@ cd /root/repo
   DEEPCTR_GATHER_MODE=cast BENCH_EXTRAS=0 \
     timeout 1800 python bench.py 2>&1 | grep -v axon
   BENCH_EXTRAS=0 timeout 1800 python bench.py 2>&1 | grep -v axon
+  echo "=== bench.py criteo_real cardinalities $(date)"
+  BENCH_MODEL=deepfm_criteo_real timeout 2400 python bench.py 2>&1 \
+    | grep -v axon
   echo "=== done $(date)"
 } >> "$LOG" 2>&1
