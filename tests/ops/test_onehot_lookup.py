@@ -60,6 +60,36 @@ def test_grad_matches_take_oracle_random():
     np.testing.assert_allclose(np.asarray(g1), g2, rtol=1e-4, atol=1e-5)
 
 
+def test_onehot_mode_trains_close_to_default(monkeypatch):
+    """2 epochs of bf16 training under DEEPCTR_GATHER_MODE=onehot must
+    track the default path's losses (same bf16 forward values; grads
+    differ only by f32-vs-f32 accumulation of bf16-rounded cotangents)."""
+    import numpy as np
+    from deepctr_tpu import config
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+
+    rng = np.random.default_rng(5)
+    N = 256
+    x = {"C1": rng.integers(0, 30, N), "C2": rng.integers(0, 50, N)}
+    y = (np.asarray(x["C1"]) % 2).astype("float32")
+    cols = [SparseFeat("C1", 30, 8), SparseFeat("C2", 50, 8)]
+    config.set_compute_dtype("bfloat16")
+    try:
+        losses = {}
+        for mode in ("off", "onehot"):
+            monkeypatch.setenv("DEEPCTR_GATHER_MODE", mode)
+            m = DeepFM(cols, cols, seed=7)
+            m.compile("adagrad", "binary_crossentropy")
+            h = m.fit(x, y, batch_size=64, epochs=2, verbose=0,
+                      shuffle=False)
+            losses[mode] = h.history["loss"]
+    finally:
+        config.set_compute_dtype("float32")
+    np.testing.assert_allclose(losses["onehot"], losses["off"],
+                               rtol=0.05)
+
+
 def test_embedding_dict_dispatch(monkeypatch):
     """DEEPCTR_GATHER_MODE=onehot must flow through a real model forward
     (bf16 compute) and match the default path to bf16 tolerance."""
