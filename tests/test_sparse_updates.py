@@ -171,6 +171,38 @@ def test_sparse_packed_fused_matches_dense(monkeypatch):
     np.testing.assert_allclose(run(False), run(True), atol=2e-5)
 
 
+def test_sparse_packed_varlen_matches_dense(monkeypatch):
+    """DIN-style production shape: a VarLenSparseFeat history over a
+    PACKED big table (item vocabs are multi-million in production) with
+    sparse updates must match the dense trajectory, including the
+    `id != 0` padding mask under proxy-id rewrite + packed lane select."""
+    from deepctr_tpu import inputs as dc_inputs
+    from deepctr_tpu.features import VarLenSparseFeat
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(1)
+    N, V, maxlen = 256, 2048, 4
+    seq = rng.integers(1, V, (N, maxlen))
+    lens = rng.integers(1, maxlen + 1, N)
+    seq[np.arange(maxlen)[None, :] >= lens[:, None]] = 0
+    x = {"item": rng.integers(0, V, N), "hist_item": seq,
+         "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("item", V, 16), DenseFeat("d0", 1),
+            VarLenSparseFeat(SparseFeat("hist_item", V, 16,
+                                        embedding_name="item"),
+                             maxlen=maxlen, combiner="mean")]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
 def test_arena_update_matches_dense(monkeypatch):
     """The arena path (all combined-storage tables in ONE buffer, one
     pair-gather + one batched adagrad + one grid-G Pallas scatter) must
