@@ -56,3 +56,41 @@ def test_DIN_att_weight_normalization():
     model = DIN(feature_columns, behavior_feature_list,
                 att_weight_normalization=True, att_activation="relu")
     check_model(model, "DIN", x, y, check_model_io=False)
+
+
+def test_DIN_sparse_packed_matches_dense(monkeypatch):
+    """Production DIN shape: the item table is big enough to store
+    PACKED and train through the active-rows sparse path; the attention
+    over history (explicit length column) must match the dense
+    trajectory."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V, maxlen = 128, 2048, 4
+    hist = rng.integers(1, V, (N, maxlen))
+    lens = rng.integers(1, maxlen + 1, N)
+    hist[np.arange(maxlen)[None, :] >= lens[:, None]] = 0
+    cols = [
+        SparseFeat("user", 16, embedding_dim=4),
+        SparseFeat("item_id", V, embedding_dim=16),
+        VarLenSparseFeat(
+            SparseFeat("hist_item_id", V, embedding_dim=16,
+                       embedding_name="item_id"),
+            maxlen=maxlen, length_name="seq_length")]
+    x = {"user": rng.integers(0, 16, N),
+         "item_id": rng.integers(1, V, N),
+         "hist_item_id": hist,
+         "seq_length": lens}
+    y = rng.integers(0, 2, N).astype(np.float64)
+
+    def run(sparse):
+        m = DIN(cols, ["item_id"], dnn_hidden_units=(8,), seed=3,
+                l2_reg_embedding=0, l2_reg_dnn=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        if sparse:
+            assert any("item_id" in s[0] for s in m._sparse_specs)
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 32)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
