@@ -52,6 +52,40 @@ def use_pallas_explicit():
 
 
 # --------------------------------------------------------------------------
+# Small-table gather lowering under bf16 compute (inputs.EmbeddingDict).
+# XLA lowers small-table gathers as one-hot matmuls; with f32 tables the
+# MXU runs at ~1/4 the bf16 rate (see EmbeddingDict._gather docstring).
+#   "off"    — plain f32 take (XLA decides everything)
+#   "cast"   — cast the table to bf16 before the take (bf16 matmul rate,
+#              bf16 duplicate-id grad accumulation)
+#   "onehot" — explicit bf16 one-hot matmul, f32 accumulation both
+#              directions (ops/onehot_lookup.py)
+#   "auto"   — resolve per backend once the end-to-end A/B lands
+#              (tools/when_tpu_returns.sh); currently resolves to "off".
+# DEEPCTR_GATHER_MODE env overrides (A/B without code changes).
+# --------------------------------------------------------------------------
+_GATHER_MODE = "auto"
+
+
+def set_gather_mode(mode):
+    """Select the small-table gather lowering: 'auto'|'off'|'cast'|'onehot'."""
+    global _GATHER_MODE
+    assert mode in ("auto", "off", "cast", "onehot")
+    _GATHER_MODE = mode
+
+
+def gather_mode():
+    """Resolve the small-table gather mode (env override > config)."""
+    import os
+    env = os.environ.get("DEEPCTR_GATHER_MODE")
+    if env:
+        return env
+    if _GATHER_MODE == "auto":
+        return "off"   # flip to the A/B winner once measured on TPU
+    return _GATHER_MODE
+
+
+# --------------------------------------------------------------------------
 # Sharded-embedding lookup exchange (mesh runs only).
 #   "gspmd" — default: plain gather, XLA's sharding propagation inserts
 #             the exchange it derives from the table/batch shardings.

@@ -133,7 +133,7 @@ class EmbeddingDict(nn.Module):
         ct = config.compute_dtype()
         if (table.dtype == jnp.float32 and ct == jnp.bfloat16
                 and table.shape[0] <= _GATHER_CAST_MAX_ROWS):
-            gmode = _os.environ.get("DEEPCTR_GATHER_MODE", "off")
+            gmode = config.gather_mode()
             if gmode == "onehot":
                 from .ops.onehot_lookup import onehot_lookup
                 flat = row_ids.reshape(-1)
