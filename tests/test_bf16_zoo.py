@@ -74,11 +74,22 @@ def test_bf16_multi_task(name):
     assert p.shape == (64, 2)
 
 
-def test_bf16_din_dien():
+def test_bf16_din():
     np.random.seed(7)
     from .models.DIN_test import get_xy_fd
     x, y, cols, behavior_list = get_xy_fd()
     m = zoo.DIN(cols, behavior_list, dnn_hidden_units=(8,), seed=5)
+    m.compile("adagrad", "binary_crossentropy")
+    m.fit(x, y, batch_size=4, epochs=1, verbose=0)
+    assert np.isfinite(m.predict(x, 4)).all()
+
+
+def test_bf16_dien():
+    np.random.seed(7)
+    from .models.DIEN_test import get_xy_fd
+    x, y, cols, behavior_list = get_xy_fd(use_neg=True)
+    m = zoo.DIEN(cols, behavior_list, gru_type="AUGRU", use_negsampling=True,
+                 dnn_hidden_units=(8,), seed=5)
     m.compile("adagrad", "binary_crossentropy")
     m.fit(x, y, batch_size=4, epochs=1, verbose=0)
     assert np.isfinite(m.predict(x, 4)).all()
