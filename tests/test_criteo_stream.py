@@ -144,3 +144,23 @@ def test_vendored_sample_parses():
     assert set(np.unique(y)) <= {0.0, 1.0}
     for i in range(1, 27):
         assert (x["C%d" % i] < 10000).all() and (x["C%d" % i] >= 0).all()
+
+
+def test_parse_fuzz_no_crash():
+    """Random byte soup through the C++ parser: never crash, ids always
+    in range, consumed bounded by the buffer (memory-safety regression
+    net for the native code path)."""
+    rng = np.random.default_rng(0)
+    alphabet = list(b"0123456789.,-abcXYZ\t\n\r ,")
+    for trial in range(400):
+        n = int(rng.integers(0, 200))
+        buf = bytes(rng.choice(alphabet, n).tolist())
+        nd = int(rng.integers(0, 5))
+        ns = int(rng.integers(0, 5))
+        vocabs = rng.integers(1, 1000, ns).tolist() if ns else [1]
+        y, d, s, c = native.parse_criteo(buf, nd, ns, vocabs, sep=",",
+                                         log_dense=bool(trial % 2))
+        assert 0 <= c <= len(buf)
+        if ns and len(s):
+            assert (s >= 0).all()
+            assert (s < np.asarray(vocabs)[None, :]).all()
