@@ -76,3 +76,38 @@ def test_export_requires_features():
     model = DeepFM([], [])
     with pytest.raises(ValueError):
         serving.export_predict(model, batch_size=4)
+
+
+def test_export_syncs_combined_storage_tables(monkeypatch):
+    """Regression: export_predict must _sync_params() first — with
+    combined (w|acc) storage the params leaf lags table_state after
+    fit(), and an export taken before any predict() call used to bake
+    the stale rows into the artifact."""
+    import jax.experimental.pallas.tpu as pltpu
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu import inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat
+
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V = 128, 2048
+    x = {"big": rng.integers(0, V, N)}
+    y = rng.integers(0, 2, N).astype("float32")
+    cols = [SparseFeat("big", V, 16)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+    dc_config.set_use_pallas(True)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            m.compile("adagrad", "binary_crossentropy",
+                      sparse_table_updates=True)
+            st = m.table_state.get("embedding_dict/big")
+            assert (isinstance(st, dict) and "combined" in st) \
+                or "__arena__" in m.table_state
+            m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+            # export BEFORE any predict/get_weights (they would sync)
+            exp = serving.export_predict(m, batch_size=128)
+            got = np.asarray(exp.call(m.assemble_device_input(x)))
+            want = m.predict(x, 128)
+    finally:
+        dc_config.set_use_pallas("auto")
+    np.testing.assert_allclose(got, want, atol=1e-6)
