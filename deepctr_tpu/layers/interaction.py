@@ -312,7 +312,9 @@ class CrossNetMix(nn.Module):
             g = jnp.einsum("bn,knr->bkr", xl, gates.astype(dtype))[..., 0]
             # low-rank expert path: V^T x -> tanh -> C -> tanh -> U
             vx = jnp.tanh(jnp.einsum("bn,knr->bkr", xl, V[i].astype(dtype)))
-            cx = jnp.tanh(jnp.einsum("bkr,krs->bks", vx, C[i].astype(dtype)))
+            # C v (not C^T v): out_s = sum_r C[s, r] v_r, matching the
+            # reference's torch.matmul(C_list[i][k], v_x)
+            cx = jnp.tanh(jnp.einsum("bkr,ksr->bks", vx, C[i].astype(dtype)))
             ux = jnp.einsum("bks,kns->bkn", cx, U[i].astype(dtype))
             dot = ux + bias[i].astype(dtype)[None, :, 0][:, None, :]
             expert_out = x0[:, None, :] * dot             # [B, K, n]

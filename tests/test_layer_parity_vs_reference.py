@@ -270,3 +270,77 @@ def test_kmax_pooling_parity():
     variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
     got = np.asarray(ours.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_afm_layer_parity():
+    from deepctr_torch.layers import AFMLayer as TorchAFM
+    from deepctr_tpu.layers import AFMLayer
+    x = _x()
+    xt = [torch.from_numpy(x[:, i:i + 1, :]) for i in range(F)]
+    t = TorchAFM(in_features=E, attention_factor=3, dropout_rate=0)
+    ref = t(xt).detach().numpy()
+    ours = AFMLayer(in_features=E, attention_factor=3)
+    params = {
+        "attention_W": jnp.asarray(t.attention_W.detach().numpy()),
+        "attention_b": jnp.asarray(t.attention_b.detach().numpy()),
+        "projection_h": jnp.asarray(t.projection_h.detach().numpy()),
+        "projection_p": jnp.asarray(t.projection_p.detach().numpy()),
+    }
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_crossnetmix_parity():
+    from deepctr_torch.layers import CrossNetMix as TorchCNM
+    from deepctr_tpu.layers import CrossNetMix
+    n, lr, K, L = 12, 5, 3, 2
+    x = np.random.default_rng(3).normal(size=(B, n)).astype(np.float32)
+    t = TorchCNM(in_features=n, low_rank=lr, num_experts=K, layer_num=L)
+    ref = t(torch.from_numpy(x)).detach().numpy()
+    ours = CrossNetMix(in_features=n, low_rank=lr, num_experts=K,
+                       layer_num=L)
+    params = {
+        "U_list": jnp.asarray(np.stack(
+            [p.detach().numpy() for p in t.U_list])),      # [L, K, n, r]
+        "V_list": jnp.asarray(np.stack(
+            [p.detach().numpy() for p in t.V_list])),
+        "C_list": jnp.asarray(np.stack(
+            [p.detach().numpy() for p in t.C_list])),
+        "bias": jnp.asarray(np.stack(
+            [p.detach().numpy() for p in t.bias])),        # [L, n, 1]
+        "gating": jnp.asarray(np.stack(
+            [g.weight.detach().numpy().T for g in t.gating])),  # [K, n, 1]
+    }
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_outter_product_parity():
+    from deepctr_torch.layers import OutterProductLayer as TorchOPL
+    from deepctr_tpu.layers import OutterProductLayer
+    x = _x()
+    xt = [torch.from_numpy(x[:, i:i + 1, :]) for i in range(F)]
+    for ktype in ("mat", "vec", "num"):
+        t = TorchOPL(field_size=F, embedding_size=E, kernel_type=ktype)
+        ref = t(xt).detach().numpy()
+        ours = OutterProductLayer(field_size=F, embedding_size=E,
+                                  kernel_type=ktype)
+        params = {"kernel": jnp.asarray(t.kernel.detach().numpy())}
+        got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=ktype)
+
+
+def test_conv2d_same_parity():
+    from deepctr_torch.layers.core import Conv2dSame as TorchConv
+    from deepctr_tpu.layers import Conv2dSame
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, 2, 7, 5)).astype(np.float32)  # NCHW
+    t = TorchConv(2, 3, kernel_size=(4, 1), stride=(2, 1))
+    ref = t(torch.from_numpy(x)).detach().numpy()
+    ours = Conv2dSame(in_channels=2, out_channels=3, kernel_size=(4, 1),
+                      stride=(2, 1))
+    params = {"kernel": jnp.asarray(t.weight.detach().numpy()),
+              "bias": jnp.asarray(t.bias.detach().numpy())}
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
