@@ -344,3 +344,29 @@ def test_conv2d_same_parity():
               "bias": jnp.asarray(t.bias.detach().numpy())}
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_agru_cell_parity():
+    from deepctr_torch.layers.sequence import AGRUCell as TorchAGRU
+    from deepctr_tpu.layers.sequence import AGRUCell
+    I = H = E
+    x = np.random.default_rng(9).normal(size=(B, I)).astype(np.float32)
+    h = np.random.default_rng(10).normal(size=(B, H)).astype(np.float32)
+    att = np.random.default_rng(11).random((B, 1)).astype(np.float32)
+    t = TorchAGRU(I, H, bias=True)
+    for p in t.parameters():
+        torch.nn.init.normal_(p, std=0.3)
+    ref = t(torch.from_numpy(x), torch.from_numpy(h),
+            torch.from_numpy(att)).detach().numpy()
+    ours = AGRUCell(input_size=I, hidden_size=H)
+    ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(h),
+              jnp.asarray(att))
+    params = {
+        "weight_ih": jnp.asarray(t.weight_ih.detach().numpy()),
+        "weight_hh": jnp.asarray(t.weight_hh.detach().numpy()),
+        "bias_ih": jnp.asarray(t.bias_ih.detach().numpy()),
+        "bias_hh": jnp.asarray(t.bias_hh.detach().numpy()),
+    }
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(h), jnp.asarray(att)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
