@@ -370,3 +370,46 @@ def test_agru_cell_parity():
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(x),
                                 jnp.asarray(h), jnp.asarray(att)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_gru_parity_vs_packed_sequence():
+    """MaskedGRU (lax.scan + length mask) vs torch nn.GRU over a
+    pack_padded_sequence — the exact construct DIEN's interest extractor
+    uses (reference dien.py:220-224).  Outputs at valid positions and
+    the final state must match; padded positions must be zero."""
+    from deepctr_tpu.layers.sequence import MaskedGRU
+    I, H, T = 3, 6, 5
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(B, T, I)).astype(np.float32)
+    lengths = np.array([5, 3, 1, 4, 2, 5, 3, 2][:B])
+    x[np.arange(T)[None, :] >= lengths[:, None]] = 0.0
+
+    t = torch.nn.GRU(I, H, batch_first=True)
+    for p in t.parameters():
+        torch.nn.init.normal_(p, std=0.3)
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lengths),
+        batch_first=True, enforce_sorted=False)
+    out_packed, h_n = t(packed)
+    ref_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        out_packed, batch_first=True, total_length=T)
+    ref_out = ref_out.detach().numpy()
+    ref_h = h_n[0].detach().numpy()
+
+    ours = MaskedGRU(input_size=I, hidden_size=H)
+    ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lengths))
+    params = {
+        "weight_ih": jnp.asarray(t.weight_ih_l0.detach().numpy()),
+        "weight_hh": jnp.asarray(t.weight_hh_l0.detach().numpy()),
+        "bias_ih": jnp.asarray(t.bias_ih_l0.detach().numpy()),
+        "bias_hh": jnp.asarray(t.bias_hh_l0.detach().numpy()),
+    }
+    got_out, got_h = ours.apply({"params": params}, jnp.asarray(x),
+                                jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(got_out), ref_out,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_h), ref_h,
+                               rtol=1e-4, atol=1e-5)
+    # padded tail is exactly zero (what downstream masked ops rely on)
+    pad_mask = np.arange(T)[None, :] >= lengths[:, None]
+    assert (np.asarray(got_out)[pad_mask] == 0).all()
