@@ -413,3 +413,48 @@ def test_masked_gru_parity_vs_packed_sequence():
     # padded tail is exactly zero (what downstream masked ops rely on)
     pad_mask = np.arange(T)[None, :] >= lengths[:, None]
     assert (np.asarray(got_out)[pad_mask] == 0).all()
+
+
+@pytest.mark.parametrize("gru_type", ["AGRU", "AUGRU"])
+def test_dynamic_gru_parity_vs_packed(gru_type):
+    """DynamicGRU (masked scan) vs the reference's python loop over a
+    PackedSequence (sequence.py:285-320), per gru_type."""
+    from deepctr_torch.layers.sequence import DynamicGRU as TorchDynGRU
+    from deepctr_tpu.layers.sequence import DynamicGRU
+    I, H, T = 3, 6, 5
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(B, T, I)).astype(np.float32)
+    att = rng.random((B, T, 1)).astype(np.float32)
+    lengths = np.array([5, 3, 1, 4, 2, 5, 3, 2][:B])
+    pad = np.arange(T)[None, :] >= lengths[:, None]
+    x[pad] = 0.0
+    att[pad] = 0.0
+
+    t = TorchDynGRU(I, H, gru_type=gru_type)
+    for p in t.parameters():
+        torch.nn.init.normal_(p, std=0.3)
+    packed_x = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(x), torch.from_numpy(lengths),
+        batch_first=True, enforce_sorted=False)
+    packed_att = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.from_numpy(att), torch.from_numpy(lengths),
+        batch_first=True, enforce_sorted=False)
+    out_packed = t(packed_x, packed_att)
+    ref_out, _ = torch.nn.utils.rnn.pad_packed_sequence(
+        out_packed, batch_first=True, total_length=T)
+    ref_out = ref_out.detach().numpy()
+
+    ours = DynamicGRU(input_size=I, hidden_size=H, gru_type=gru_type)
+    ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(att),
+              jnp.asarray(lengths))
+    cell = t.rnn
+    params = {
+        "weight_ih": jnp.asarray(cell.weight_ih.detach().numpy()),
+        "weight_hh": jnp.asarray(cell.weight_hh.detach().numpy()),
+        "bias_ih": jnp.asarray(cell.bias_ih.detach().numpy()),
+        "bias_hh": jnp.asarray(cell.bias_hh.detach().numpy()),
+    }
+    got_out, _ = ours.apply({"params": params}, jnp.asarray(x),
+                            jnp.asarray(att), jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(got_out), ref_out,
+                               rtol=1e-4, atol=1e-5)
