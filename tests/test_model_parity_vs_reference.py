@@ -111,3 +111,54 @@ def test_deepfm_model_parity():
     ref = tm.predict(x, B)
     got = jm.predict(x, B)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_xdeepfm_model_parity():
+    """Whole-model bit parity for xDeepFM: CIN conv stacks + DNN +
+    fused wide column, weights copied from the reference."""
+    import torch  # noqa: F401
+    from deepctr_torch.inputs import (SparseFeat as TSparse,
+                                      DenseFeat as TDense)
+    from deepctr_torch.models import xDeepFM as TorchXDeepFM
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    from deepctr_tpu.models import xDeepFM
+
+    np.random.seed(2)
+    F, V, E, B = 4, 9, 4, 32
+    tcols = [TSparse("s%d" % i, V, E) for i in range(F)] + [TDense("d0", 1)]
+    jcols = [SparseFeat("s%d" % i, V, E) for i in range(F)] + [
+        DenseFeat("d0", 1)]
+    kw = dict(dnn_hidden_units=(8, 4), cin_layer_size=(6, 4),
+              dnn_dropout=0)
+    tm = TorchXDeepFM(tcols, tcols, **kw)
+    tm.eval()
+    jm = xDeepFM(jcols, jcols, **kw)
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                    jm.params)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    for i in range(F):
+        name = "s%d" % i
+        params["embedding_dict"][name] = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+    params["linear_model"]["weight"] = sd["linear_model.weight"]
+    for li in range(2):
+        params["dnn"]["dense_%d" % li]["kernel"] = \
+            sd["dnn.linears.%d.weight" % li].T
+        params["dnn"]["dense_%d" % li]["bias"] = \
+            sd["dnn.linears.%d.bias" % li]
+        params["cin"]["conv_w_%d" % li] = \
+            sd["cin.conv1ds.%d.weight" % li][:, :, 0]
+        params["cin"]["conv_b_%d" % li] = sd["cin.conv1ds.%d.bias" % li]
+    params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
+    params["cin_linear"]["kernel"] = sd["cin_linear.weight"].T
+    params["out"]["bias"] = sd["out.bias"]
+
+    jm.set_weights({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                    "batch_stats": jm.batch_stats})
+    x = {"s%d" % i: np.random.randint(0, V, B) for i in range(F)}
+    x["d0"] = np.random.rand(B).astype(np.float32)
+    ref = tm.predict(x, B)
+    got = jm.predict(x, B)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
