@@ -28,11 +28,11 @@ import numpy as np
 # Criteo layout: 26 categorical + 13 dense (run_classification_criteo.py).
 N_SPARSE = 26
 N_DENSE = 13
-VOCAB = int(os.environ.get("BENCH_VOCAB", 10000))
+VOCAB = _DEFAULT_VOCAB = int(os.environ.get("BENCH_VOCAB", 10000))
 VOCABS = None   # per-column override (deepfm_criteo_real config)
 EMB_DIM = 16
 BATCH = 4096
-STEPS = 50
+STEPS = _DEFAULT_STEPS = 50
 HIDDEN = (400, 400, 400)
 
 # The 26 categorical cardinalities of the public Criteo Kaggle display-
@@ -80,11 +80,11 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
     import jax.numpy as jnp
 
     global VOCAB, VOCABS, STEPS
+    # reset shared module globals EVERY call — a steps/vocab override
+    # from one config must not leak into the next bench in the same run
     VOCABS = vocabs
-    if vocab is not None:
-        VOCAB = vocab
-    if steps is not None:
-        STEPS = steps
+    VOCAB = vocab if vocab is not None else _DEFAULT_VOCAB
+    STEPS = steps if steps is not None else _DEFAULT_STEPS
     dc_config.set_compute_dtype("bfloat16")
     cols = _columns()
     model = model_cls(cols, cols, **kwargs)
@@ -171,7 +171,13 @@ def main():
             "metric": "deepfm_criteo_real_cardinality_train_throughput",
             "value": round(eps, 1),
             "unit": "examples/sec/chip",
+            # conservative: the torch-CPU denominator was measured at
+            # vocab 10k; at 33.8M rows the reference would be slower, so
+            # the true same-shape ratio is HIGHER than this
             "vs_baseline": round(eps / FALLBACK_REFERENCE_EPS, 2),
+            "vs_baseline_note": "denominator measured at vocab 10k "
+                                "(same-shape torch run infeasible here); "
+                                "ratio is a lower bound",
         }))
         return
     if which == "xdeepfm":

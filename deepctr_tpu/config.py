@@ -79,10 +79,19 @@ def gather_mode():
     import os
     env = os.environ.get("DEEPCTR_GATHER_MODE")
     if env:
-        return env
-    if _GATHER_MODE == "auto":
+        if env not in ("auto", "off", "cast", "onehot"):
+            raise ValueError(
+                "DEEPCTR_GATHER_MODE=%r — must be auto|off|cast|onehot "
+                "(a typo here would silently measure the wrong A/B leg)"
+                % env)
+        mode = env
+    elif os.environ.get("DEEPCTR_GATHER_CAST") == "1":   # legacy knob
+        mode = "cast"
+    else:
+        mode = _GATHER_MODE
+    if mode == "auto":
         return "off"   # flip to the A/B winner once measured on TPU
-    return _GATHER_MODE
+    return mode
 
 
 # --------------------------------------------------------------------------

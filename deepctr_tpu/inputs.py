@@ -131,16 +131,24 @@ class EmbeddingDict(nn.Module):
                 return psum_lookup(mesh, table, row_ids)
             return a2a_lookup(mesh, table, row_ids, slack=slack)
         ct = config.compute_dtype()
+        # eligible: the active-rows SUBSTITUTED slice (fewer physical
+        # rows than the declared table) or a full UNPACKED small table.
+        # A full PACKED table is big by definition (>= 131072 logical
+        # rows) — running it through onehot/cast would build a giant
+        # one-hot or re-cast the whole table every step.
+        substituted = table.shape[0] < self.table_rows[name]
+        small_full = (name not in self.table_packs
+                      and table.shape[0] <= _GATHER_CAST_MAX_ROWS)
         if (table.dtype == jnp.float32 and ct == jnp.bfloat16
-                and table.shape[0] <= _GATHER_CAST_MAX_ROWS):
+                and table.shape[0] <= _GATHER_CAST_MAX_ROWS
+                and (substituted or small_full)):
             gmode = config.gather_mode()
             if gmode == "onehot":
                 from .ops.onehot_lookup import onehot_lookup
                 flat = row_ids.reshape(-1)
                 rows = onehot_lookup(table, flat)
                 return rows.reshape(row_ids.shape + (table.shape[1],))
-            if gmode == "cast" or _os.environ.get(
-                    "DEEPCTR_GATHER_CAST") == "1":
+            if gmode == "cast":
                 table = table.astype(ct)
         return jnp.take(table, row_ids, axis=0)
 

@@ -40,11 +40,10 @@ __all__ = ["onehot_lookup"]
 
 
 def _onehot(ids, rows, dtype):
-    # iota + compare + convert: XLA's matmul emitters consume this
-    # pattern without materializing the [n, rows] plane in HBM (the same
-    # HLO its own gather->matmul rewrite produces)
-    return (ids[:, None] == jnp.arange(rows, dtype=ids.dtype)[None, :]
-            ).astype(dtype)
+    # iota + compare + convert — the same HLO XLA's own gather->matmul
+    # rewrite produces, consumed by the matmul emitters without
+    # materializing the [n, rows] plane in HBM
+    return jax.nn.one_hot(ids, rows, dtype=dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -7,6 +7,7 @@ whole point vs the cast-before-take variant)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepctr_tpu.ops.onehot_lookup import onehot_lookup
 
@@ -116,3 +117,53 @@ def test_embedding_dict_dispatch(monkeypatch):
     finally:
         config.set_compute_dtype("float32")
     np.testing.assert_allclose(got, base, atol=5e-3)
+
+
+def test_full_packed_tables_bypass_onehot(monkeypatch):
+    """A FULL packed big table must keep its real gather even under
+    gather-mode onehot (a [B, 30k+] one-hot would be a regression);
+    small unpacked tables and active-rows substituted slices do route
+    through the op."""
+    import jax.numpy as jnp
+    from deepctr_tpu import config, inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+    from deepctr_tpu.ops import onehot_lookup as mod
+
+    calls = []
+    real = mod.onehot_lookup
+
+    def spy(table, ids):
+        calls.append(tuple(table.shape))
+        return real(table, ids)
+
+    monkeypatch.setattr(mod, "onehot_lookup", spy)
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_GATHER_MODE", "onehot")
+    rng = np.random.default_rng(0)
+    x = {"big": rng.integers(0, 2048, 64), "small": rng.integers(0, 30, 64)}
+    cols = [SparseFeat("big", 2048, 16), SparseFeat("small", 30, 16)]
+    config.set_compute_dtype("bfloat16")
+    try:
+        m = DeepFM(cols, cols)
+        m.compile("adagrad", "binary_crossentropy")
+        m.predict(x, 64)
+        # only the small table's full rows went through onehot; the
+        # packed big table (2048/7 -> ~293 physical rows, under the cap)
+        # must NOT appear
+        assert calls, "small table should route through onehot"
+        assert all(s[0] <= 31 for s in calls), calls
+    finally:
+        config.set_compute_dtype("float32")
+
+
+def test_gather_mode_env_validation(monkeypatch):
+    from deepctr_tpu import config
+    monkeypatch.setenv("DEEPCTR_GATHER_MODE", "one-hot")
+    with pytest.raises(ValueError, match="DEEPCTR_GATHER_MODE"):
+        config.gather_mode()
+    monkeypatch.setenv("DEEPCTR_GATHER_MODE", "onehot")
+    assert config.gather_mode() == "onehot"
+    monkeypatch.delenv("DEEPCTR_GATHER_MODE")
+    monkeypatch.setenv("DEEPCTR_GATHER_CAST", "1")   # legacy knob
+    assert config.gather_mode() == "cast"
