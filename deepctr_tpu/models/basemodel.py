@@ -451,7 +451,13 @@ class BaseModel(object):
             lower pathologically; flat per-table row gathers already run
             at batched-gather bandwidth, so gather-op count was never
             the bound)."""
-        return _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
+        mode = _os.environ.get("DEEPCTR_UPDATE_MODE", "scatter")
+        valid = ("scatter", "arena", "scatter_pooled", "fused",
+                 "scatter_pair")
+        if mode not in valid:
+            raise ValueError("DEEPCTR_UPDATE_MODE=%r — must be one of %s"
+                             % (mode, "|".join(valid)))
+        return mode
 
     def _build_table_state(self):
         """Per-table optimizer state; combined-storage (w | acc) tables
