@@ -59,6 +59,7 @@ class EmbeddingDict(nn.Module):
         dims = {}
         packs = {}
         vocabs = {}
+        rows = {}
         for feat in self.feature_columns:
             if isinstance(feat, (SparseFeat, VarLenSparseFeat)):
                 name = feat.embedding_name
@@ -85,11 +86,15 @@ class EmbeddingDict(nn.Module):
                                              shape)).value
                 dims[name] = dim
                 vocabs[name] = vocab
+                rows[name] = shape[0]
         self.tables = tables
         self.table_dims = dims
         self.table_packs = packs
         self.table_vocabs = vocabs
-        self.table_rows = {n: t.shape[0] for n, t in tables.items()}
+        # DECLARED physical rows (from the feature spec, NOT the live
+        # param, which the active-rows step substitutes with a slice —
+        # live-vs-declared mismatch is how _gather detects substitution)
+        self.table_rows = rows
 
     def _gather(self, name, table, row_ids):
         """Row gather, routed through the configured mesh exchange:
@@ -131,12 +136,13 @@ class EmbeddingDict(nn.Module):
                 return psum_lookup(mesh, table, row_ids)
             return a2a_lookup(mesh, table, row_ids, slack=slack)
         ct = config.compute_dtype()
-        # eligible: the active-rows SUBSTITUTED slice (fewer physical
-        # rows than the declared table) or a full UNPACKED small table.
+        # eligible: the active-rows SUBSTITUTED slice (any row-count
+        # mismatch vs the declared table — the padded slice can be
+        # larger than a small table) or a full UNPACKED small table.
         # A full PACKED table is big by definition (>= 131072 logical
         # rows) — running it through onehot/cast would build a giant
         # one-hot or re-cast the whole table every step.
-        substituted = table.shape[0] < self.table_rows[name]
+        substituted = table.shape[0] != self.table_rows[name]
         small_full = (name not in self.table_packs
                       and table.shape[0] <= _GATHER_CAST_MAX_ROWS)
         if (table.dtype == jnp.float32 and ct == jnp.bfloat16

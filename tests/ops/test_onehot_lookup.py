@@ -167,3 +167,51 @@ def test_gather_mode_env_validation(monkeypatch):
     monkeypatch.delenv("DEEPCTR_GATHER_MODE")
     monkeypatch.setenv("DEEPCTR_GATHER_CAST", "1")   # legacy knob
     assert config.gather_mode() == "cast"
+
+
+def test_onehot_mode_with_active_rows_packed(monkeypatch):
+    """The production combination queued for TPU A/B: bf16 compute +
+    packed big table + active-rows sparse updates + gather-mode onehot.
+    The substituted [n,128] slices route through the op (spy) and the
+    2-epoch loss trajectory tracks the mode=off leg."""
+    from deepctr_tpu import config, inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import DeepFM
+    from deepctr_tpu.ops import onehot_lookup as mod
+
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(6)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N)}
+    y = (np.asarray(x["big"]) % 2).astype("float32")
+    cols = [SparseFeat("big", V, 16)]
+    config.set_compute_dtype("bfloat16")
+    calls = []
+    real = mod.onehot_lookup
+
+    def spy(table, ids):
+        calls.append(tuple(table.shape))
+        return real(table, ids)
+
+    try:
+        losses = {}
+        for mode in ("off", "onehot"):
+            if mode == "onehot":
+                monkeypatch.setattr(mod, "onehot_lookup", spy)
+            monkeypatch.setenv("DEEPCTR_GATHER_MODE", mode)
+            m = DeepFM(cols, cols, seed=7)
+            m.compile("adagrad", "binary_crossentropy",
+                      sparse_table_updates=True)
+            assert m._sparse_specs
+            h = m.fit(x, y, batch_size=64, epochs=2, verbose=0,
+                      shuffle=False)
+            losses[mode] = h.history["loss"]
+    finally:
+        config.set_compute_dtype("float32")
+    # substituted slices (row count != the declared packed table's) were
+    # routed through the op during training; at this tiny vocab the
+    # padded slice is LARGER than the full table (1024 vs 293)
+    full_rows = -(-V // 7)
+    assert calls and all(s[0] != full_rows for s in calls), (
+        calls[:3], full_rows)
+    np.testing.assert_allclose(losses["onehot"], losses["off"], rtol=0.05)
