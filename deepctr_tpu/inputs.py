@@ -10,7 +10,6 @@ Every lookup is a static column slice of the flat input matrix + int cast +
 gather; there is no dynamic shape anywhere on the device path.
 """
 
-import os as _os
 from collections import defaultdict
 from itertools import chain
 
