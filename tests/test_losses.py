@@ -1,0 +1,55 @@
+"""Loss protocol tests: built-in sum-reduced masked losses and both
+custom-callable forms the engine accepts (native 3-arg and the
+reference-style ``fn(y_pred, y_true, reduction='sum')``,
+deepctr_torch basemodel.py:248-254)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepctr_tpu import losses
+from deepctr_tpu.features import SparseFeat
+from deepctr_tpu.models import DeepFM
+
+
+def test_builtin_losses_masked_values():
+    yp = jnp.asarray([0.9, 0.2, 0.5, 0.7])
+    yt = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    sw = jnp.asarray([1.0, 1.0, 0.0, 1.0])   # third row is padding
+    bce = float(losses.binary_crossentropy(yp, yt, sw))
+    want = -(np.log(0.9) + np.log(0.8) + np.log(0.3))
+    assert abs(bce - want) < 1e-6
+    assert abs(float(losses.mse(yp, yt, sw))
+               - (0.1 ** 2 + 0.2 ** 2 + 0.7 ** 2)) < 1e-6
+    assert abs(float(losses.mae(yp, yt, sw)) - 1.0) < 1e-6
+
+
+def _fit_with(loss):
+    rng = np.random.default_rng(0)
+    x = {"c": rng.integers(0, 10, 96)}
+    y = rng.integers(0, 2, 96).astype("float32")
+    m = DeepFM([SparseFeat("c", 10, 4)], [SparseFeat("c", 10, 4)], seed=3)
+    m.compile("adagrad", loss)
+    h = m.fit(x, y, batch_size=64, epochs=1, verbose=0)   # padded batch!
+    return h.history["loss"][0]
+
+
+def test_custom_elementwise_loss():
+    def sq(y_pred, y_true):
+        return (y_pred - y_true) ** 2
+    assert np.isfinite(_fit_with(sq))
+    # matches the built-in mse route
+    assert abs(_fit_with(sq) - _fit_with("mse")) < 1e-6
+
+
+def test_reference_style_reduction_loss():
+    def ref_style(y_pred, y_true, reduction="sum"):
+        assert reduction == "sum"
+        return jnp.sum((y_pred - y_true) ** 2)
+    # NOTE: this form cannot see sample weights; with a padded trailing
+    # batch it also sums the padded rows (documented in _wrap_custom) —
+    # use 96 % 64 != 0 here deliberately and just require finiteness
+    assert np.isfinite(_fit_with(ref_style))
+
+
+def test_mae_by_name_trains():
+    assert np.isfinite(_fit_with("mae"))
