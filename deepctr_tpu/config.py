@@ -60,8 +60,15 @@ def use_pallas_explicit():
 #              bf16 duplicate-id grad accumulation)
 #   "onehot" — explicit bf16 one-hot matmul, f32 accumulation both
 #              directions (ops/onehot_lookup.py)
-#   "auto"   — resolve per backend once the end-to-end A/B lands
-#              (tools/when_tpu_returns.sh); currently resolves to "off".
+#   "auto"   — measured winner per call site (TPU v5e end-to-end A/B,
+#              TPU_QUEUE_RESULTS.md 2026-08-19): "cast" for active-rows
+#              SUBSTITUTED slices (DeepFM vocab 1M: 450.1k vs 440.4k off
+#              vs 398.7k onehot ex/s/chip), "off" for full small tables
+#              (standard shape: 1.543M off vs 1.464M cast vs 1.443M
+#              onehot).  Duplicate-id cotangents on a substituted slice
+#              accumulate in bf16 under "cast", but at big vocab
+#              duplicates are rare (~4k draws of >=131k rows) and the
+#              slice writeback re-rounds to the f32 table either way.
 # DEEPCTR_GATHER_MODE env overrides (A/B without code changes).
 # --------------------------------------------------------------------------
 _GATHER_MODE = "auto"
@@ -74,8 +81,13 @@ def set_gather_mode(mode):
     _GATHER_MODE = mode
 
 
-def gather_mode():
-    """Resolve the small-table gather mode (env override > config)."""
+def gather_mode(substituted=False):
+    """Resolve the small-table gather mode (env override > config).
+
+    ``substituted`` says whether the lookup target is an active-rows
+    substituted slice (vs a full small table) — "auto" resolves to the
+    per-regime A/B winner (see the block comment above).
+    """
     import os
     env = os.environ.get("DEEPCTR_GATHER_MODE")
     if env:
@@ -90,7 +102,7 @@ def gather_mode():
     else:
         mode = _GATHER_MODE
     if mode == "auto":
-        return "off"   # flip to the A/B winner once measured on TPU
+        return "cast" if substituted else "off"
     return mode
 
 

@@ -104,8 +104,9 @@ class EmbeddingDict(nn.Module):
         the active-rows train step substitutes small local slices
         (basemodel._make_active_rows), which gather locally.
 
-        SMALL-table lowering under bf16 compute (opt-in until the
-        end-to-end A/B lands — tools/when_tpu_returns.sh): XLA lowers
+        SMALL-table lowering under bf16 compute ("auto" applies the
+        measured per-regime winners — see config.py and
+        TPU_QUEUE_RESULTS.md 2026-08-19): XLA lowers
         small-table gathers as one-hot MATMULS, and an f32 one-hot
         matmul runs the MXU at ~1/4 the bf16 rate — at vocab 1M the 26
         active-rows substituted [5120, 128] lookups cost ~140 GFLOP/step
@@ -147,7 +148,7 @@ class EmbeddingDict(nn.Module):
         if (table.dtype == jnp.float32 and ct == jnp.bfloat16
                 and table.shape[0] <= _GATHER_CAST_MAX_ROWS
                 and (substituted or small_full)):
-            gmode = config.gather_mode()
+            gmode = config.gather_mode(substituted=substituted)
             if gmode == "onehot":
                 from .ops.onehot_lookup import onehot_lookup
                 flat = row_ids.reshape(-1)
