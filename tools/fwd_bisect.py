@@ -106,6 +106,34 @@ def main():
             tot += jnp.sum(t.astype(jnp.float32))
         return tot
 
+    def s_sub_urows(i, params, ts):
+        # consume only the dedup products (urows, n_valid): batched sort
+        # + the urows_mat scatter; the inv scatter, row gathers and X
+        # rewrite all DCE
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        _, _, aux = transform(params, ts, Xi)
+        tot = jnp.float32(0)
+        for v in aux.values():
+            if isinstance(v, tuple):
+                tot += jnp.sum(v[0]).astype(jnp.float32)
+                tot += v[1].astype(jnp.float32)
+        return tot
+
+    def s_sub_xonly(i, params, ts):
+        # consume only the rewritten X: sort + inv scatter + proxy
+        # rewrite; urows_mat scatter and row gathers DCE
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        _, Xs, _ = transform(params, ts, Xi)
+        return jnp.sum(Xs)
+
+    def s_sub_ponly(i, params, ts):
+        # consume only the substituted slices: sort + urows_mat scatter
+        # + the 26 row gathers; inv scatter and X rewrite DCE
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, _, _ = transform(params, ts, Xi)
+        return sum(jnp.sum(t.astype(jnp.float32))
+                   for t in jax.tree_util.tree_leaves(p_sub))
+
     # lookup_only: the same module method over a PRE-SUBSTITUTED tree
     # passed as jit args — isolates lookup cost from transform cost
     only_env = os.environ.get("BISECT_ONLY")
@@ -135,6 +163,8 @@ def main():
 
     stages = {"transform": s_transform, "transform_all": s_transform_all,
               "transform_sub": s_transform_sub,
+              "sub_urows": s_sub_urows, "sub_xonly": s_sub_xonly,
+              "sub_ponly": s_sub_ponly,
               "lookup_only": s_lookup_only,
               "emb": probe_of(m_emb),
               "lin": probe_of(m_lin), "emb_lin": probe_of(m_emb_lin),
