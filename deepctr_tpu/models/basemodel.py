@@ -625,11 +625,18 @@ class BaseModel(object):
                     [X[:, s:e].astype(jnp.int32).reshape(-1)
                      for s, e in spans])
                 ids = jnp.concatenate([jnp.zeros((1,), jnp.int32), ids])
-                # pad the id vector to a 1024 multiple so the fused
-                # Pallas row-update kernel (block size 1024) applies;
-                # pads carry the single out-of-bounds row `n_rows*pack`
-                # (one extra dedup slot, dropped by every scatter)
-                pad = (-ids.shape[0]) % 1024
+                # pad the id vector only to an 8 multiple (TPU shape
+                # alignment).  It used to pad to the Pallas update
+                # kernels' 1024 block — but every padding slot is a
+                # clip-mode gather of an out-of-bounds row in the
+                # touched-rows fetch below, and those reads measured
+                # ~1.1ms/step at vocab 1M (tools/subgather_micro.py:
+                # 26x[5120] 1.757ms vs 26x[4104] 0.639ms).  The kernels
+                # now pad to their block size internally (a cheap
+                # concatenate that never re-enters the gather).  Pads
+                # carry the single out-of-bounds row `n_rows*pack`
+                # (one extra dedup slot, dropped by every scatter).
+                pad = (-ids.shape[0]) % 8
                 if pad:
                     ids = jnp.concatenate(
                         [ids, jnp.full((pad,), n_rows * pack, jnp.int32)])
@@ -653,11 +660,33 @@ class BaseModel(object):
                      (sorted_rows[:, 1:] != sorted_rows[:, :-1])
                      .astype(jnp.int32)], axis=1)
                 slot_sorted = jnp.cumsum(first, axis=1) - 1     # [G, n]
-                gi = jnp.arange(G)[:, None]
-                inv = jnp.zeros((G, n), jnp.int32).at[gi, order].set(
-                    slot_sorted)
-                urows_mat = jnp.zeros((G, n), jnp.int32).at[
-                    gi, slot_sorted].set(sorted_rows)
+                if _os.environ.get("DEEPCTR_DEDUP_IMPL",
+                                   "sorts") == "scatter":
+                    # original form, kept for A/B: two [G, n] scatters.
+                    # Measured 1.44ms vs 0.37ms for the sort form at
+                    # [26, 5120] on TPU v5e (tools/subgather_micro.py
+                    # 2026-08-19; sorted/unique promises don't help)
+                    gi = jnp.arange(G)[:, None]
+                    inv = jnp.zeros((G, n), jnp.int32).at[gi, order].set(
+                        slot_sorted)
+                    urows_mat = jnp.zeros((G, n), jnp.int32).at[
+                        gi, slot_sorted].set(sorted_rows)
+                else:
+                    # scatter-free dedup: one extra batched sort each.
+                    # inv: sorting (order, slot) by order inverts the
+                    # sort permutation — inv[j] = slot of original id j.
+                    _, inv = jax.lax.sort(
+                        (order, slot_sorted), dimension=-1, num_keys=1,
+                        is_stable=False)
+                    # urows: compaction sort — each run's FIRST element
+                    # keys by its slot, duplicates key past every slot
+                    # (n), so position s ends up holding slot s's unique
+                    # row (positions >= n_unique hold duplicate garbage,
+                    # overwritten by the sentinel branch below)
+                    compact_key = jnp.where(first == 1, slot_sorted, n)
+                    _, urows_mat = jax.lax.sort(
+                        (compact_key, sorted_rows), dimension=-1,
+                        num_keys=1, is_stable=False)
                 n_unique = slot_sorted[:, -1:] + 1              # [G, 1]
                 # padding slots index DISTINCT, ASCENDING out-of-bounds
                 # rows (n_rows + k): the whole index vector is then sorted

@@ -103,11 +103,42 @@ def _make_kernel(lr, eps, adagrad):
     return kernel
 
 
+def _pad_to_block(rows, arrs, L=1, fill=0, axis=0):
+    """Pad a slot-index vector (or [G, n] matrix) and its per-slot value
+    arrays to a _ROWS_PER_STEP multiple along the slot axis.
+
+    The kernels' grids need whole blocks, but callers should NOT pad
+    their id vectors that far: every padding slot the TRANSFORM carries
+    is a clip-mode gather of an out-of-bounds row, and those reads
+    measured ~1.1ms/step at vocab 1M (tools/subgather_micro.py,
+    26x[5120] vs 26x[4104]: 1.757 vs 0.639ms).  Padding here instead
+    costs one [pad*L, 128] concatenate that never leaves the kernel
+    call.  Padding slots are never issued (j >= n_valid)."""
+    n = rows.shape[axis]
+    pad = (-n) % _ROWS_PER_STEP
+    if not pad:
+        return rows, arrs
+    if rows.ndim == 1:
+        rows = jnp.concatenate([rows, jnp.full((pad,), fill, rows.dtype)])
+    else:   # [G, n] along axis 1
+        rows = jnp.concatenate(
+            [rows, jnp.full(rows.shape[:1] + (pad,), fill, rows.dtype)],
+            axis=1)
+    padded = []
+    for a in arrs:
+        if a.ndim == 3:   # [G, n*L, 128]
+            padv = jnp.zeros((a.shape[0], pad * L, 128), a.dtype)
+            padded.append(jnp.concatenate([a, padv], axis=1))
+        else:             # [n*L, 128]
+            padded.append(jnp.concatenate(
+                [a, jnp.zeros((pad * L, 128), a.dtype)]))
+    return rows, padded
+
+
 def row_update_supported(w, g, rows):
     return (w.ndim == 2 and w.shape[1] == 128 and w.dtype == jnp.float32
             and g.shape[1] == 128 and rows.ndim == 1
-            and rows.shape[0] == g.shape[0]
-            and rows.shape[0] % _ROWS_PER_STEP == 0)
+            and rows.shape[0] == g.shape[0])
 
 
 def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10,
@@ -124,6 +155,8 @@ def fused_row_update(w, acc, g, rows, n_valid, l2_vec, lr, eps=1e-10,
     adagrad = acc is not None
     if w_rows is None:
         w_rows = w.at[rows].get(mode="clip", indices_are_sorted=True)
+    rows, (g, w_rows) = _pad_to_block(rows, [g, w_rows], L=1,
+                                      fill=w.shape[0])
     n = g.shape[0]
     grid = (n // _ROWS_PER_STEP,)
     kernel = _make_kernel(float(lr), float(eps), adagrad)
@@ -282,6 +315,8 @@ def scatter_rows(table, vals, starts, n_valid, L=1):
     scratch, no in-kernel compute.  ``starts`` must be sorted and
     non-overlapping over the first ``n_valid`` entries (rows j >= n_valid
     are never written)."""
+    starts, (vals,) = _pad_to_block(starts, [vals], L=L,
+                                    fill=table.shape[0])
     n = starts.shape[0]
     grid = (n // _ROWS_PER_STEP,)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
@@ -355,6 +390,7 @@ def multi_scatter_rows(tables, vals, starts, n_valids, L=1):
     buffers (in place when donated).  Grid dim 0 is the table index —
     one grid step streams one table's vals block and issues its DMAs."""
     G = len(tables)
+    starts, (vals,) = _pad_to_block(starts, [vals], L=L, fill=0, axis=1)
     n = starts.shape[1]
     nv = jnp.asarray(n_valids, jnp.int32).reshape(G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -421,9 +457,9 @@ def arena_scatter_rows(arena, vals, starts, n_valids, L=1):
     arena: [R, 128] f32; vals: [G, n*L, 128]; starts: [G, n] int32
     physical start rows into the arena, sorted non-overlapping per table
     over the first ``n_valids[t]`` entries (later entries may point
-    anywhere — they are never read); n_valids: [G] int32.  ``n`` must be
-    a multiple of _ROWS_PER_STEP.  Returns the updated arena (in place
-    when donated)."""
+    anywhere — they are never read); n_valids: [G] int32.  Returns the
+    updated arena (in place when donated)."""
+    starts, (vals,) = _pad_to_block(starts, [vals], L=L, fill=0, axis=1)
     G, n = starts.shape
     nv = jnp.asarray(n_valids, jnp.int32).reshape(G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -453,8 +489,7 @@ def combined_update_supported(combined, g, rows):
     return (combined.ndim == 2 and combined.shape[1] == 128
             and combined.shape[0] % 2 == 0
             and combined.dtype == jnp.float32 and g.shape[1] == 128
-            and rows.ndim == 1 and rows.shape[0] == g.shape[0]
-            and rows.shape[0] % _ROWS_PER_STEP == 0)
+            and rows.ndim == 1 and rows.shape[0] == g.shape[0])
 
 
 def fused_row_update_combined(combined, g, rows, n_valid, l2_vec, lr,
@@ -464,6 +499,8 @@ def fused_row_update_combined(combined, g, rows, n_valid, l2_vec, lr,
     g: [n, 128] gradient of logical rows; rows: [n] int32 LOGICAL row
     ids, sorted unique, first ``n_valid`` in-bounds (< R).  Returns the
     updated combined buffer (in place when donated)."""
+    rows, (g,) = _pad_to_block(rows, [g], L=1,
+                               fill=combined.shape[0] // 2)
     n = g.shape[0]
     grid = (n // _ROWS_PER_STEP,)
     kernel = _make_kernel_combined(float(lr), float(eps))
