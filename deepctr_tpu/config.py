@@ -62,11 +62,14 @@ def use_pallas_explicit():
 #              directions (ops/onehot_lookup.py)
 #   "auto"   — measured winner per call site (TPU v5e end-to-end A/B,
 #              TPU_QUEUE_RESULTS.md 2026-08-19): "cast" for active-rows
-#              SUBSTITUTED slices (DeepFM vocab 1M: 450.1k vs 440.4k off
-#              vs 398.7k onehot ex/s/chip), "off" for full small tables
-#              (standard shape: 1.543M off vs 1.464M cast vs 1.443M
-#              onehot).  Duplicate-id cotangents on a substituted slice
-#              accumulate in bf16 under "cast", but at big vocab
+#              substituted slices of BIG (packed) tables (DeepFM vocab
+#              1M: 450.1k vs 440.4k off vs 398.7k onehot ex/s/chip),
+#              "off" everywhere else — full small tables (standard
+#              shape: 1.543M off vs 1.464M cast vs 1.443M onehot) AND
+#              substituted slices of small tables: cast lost on small
+#              tables in the measured leg, and duplicate-id cotangents
+#              accumulating in bf16 are exactly dense at small vocab
+#              (~1.4k dups/row for vocab 3 at B=4096).  At big vocab
 #              duplicates are rare (~4k draws of >=131k rows) and the
 #              slice writeback re-rounds to the f32 table either way.
 # DEEPCTR_GATHER_MODE env overrides (A/B without code changes).
@@ -81,12 +84,14 @@ def set_gather_mode(mode):
     _GATHER_MODE = mode
 
 
-def gather_mode(substituted=False):
+def gather_mode(substituted=False, big=False):
     """Resolve the small-table gather mode (env override > config).
 
     ``substituted`` says whether the lookup target is an active-rows
-    substituted slice (vs a full small table) — "auto" resolves to the
-    per-regime A/B winner (see the block comment above).
+    substituted slice (vs a full small table); ``big`` whether the
+    DECLARED table is packed-storage scale — "auto" resolves to the
+    per-regime A/B winner (see the block comment above): "cast" only
+    for substituted slices of big tables.
     """
     import os
     env = os.environ.get("DEEPCTR_GATHER_MODE")
@@ -102,7 +107,7 @@ def gather_mode(substituted=False):
     else:
         mode = _GATHER_MODE
     if mode == "auto":
-        return "cast" if substituted else "off"
+        return "cast" if (substituted and big) else "off"
     return mode
 
 

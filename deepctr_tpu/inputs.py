@@ -114,13 +114,19 @@ class EmbeddingDict(nn.Module):
         forward time AND the 1.4GB/step XLA cost analysis
         (tools/fwd_bisect.py).  DEEPCTR_GATHER_MODE selects:
 
-          off    (default) — plain f32 take; XLA decides everything.
+          off    — plain f32 take; XLA decides everything.
           cast   — cast the table to bf16 before the take.  bf16-rate
                    matmul, but the take's VJP then scatter-adds
                    duplicate-id cotangents in bf16.
           onehot — explicit bf16 one-hot matmul with f32 ACCUMULATION
                    (ops/onehot_lookup.py): bf16 rate both directions,
                    duplicate-id grads still sum in f32.
+          auto   (default) — per-regime measured winners: "cast" for
+                   substituted slices of PACKED big tables (duplicates
+                   rare there), "off" for full small tables AND for
+                   substituted slices of small tables (cast lost on
+                   small tables, and their duplicate-id bf16
+                   accumulation is dense) — see config.py.
 
         Forward values are identical across all three under bf16 compute
         (rows were cast at the first downstream matmul anyway).  Full
@@ -148,7 +154,9 @@ class EmbeddingDict(nn.Module):
         if (table.dtype == jnp.float32 and ct == jnp.bfloat16
                 and table.shape[0] <= _GATHER_CAST_MAX_ROWS
                 and (substituted or small_full)):
-            gmode = config.gather_mode(substituted=substituted)
+            gmode = config.gather_mode(
+                substituted=substituted,
+                big=name in self.table_packs)
             if gmode == "onehot":
                 from .ops.onehot_lookup import onehot_lookup
                 flat = row_ids.reshape(-1)

@@ -327,6 +327,25 @@ class BaseModel(object):
         total_rows = sum(flat[p].shape[0] for p in spans_map)
         if mode == "auto" and total_rows < 1_000_000:
             return []
+        # Per-table gate (auto mode): a SMALL table gains nothing from
+        # the active-rows path — its substituted [~B, width] slice is
+        # as big as (or bigger than) the table itself, so substitution
+        # only INFLATES the forward's one-hot lookup matmuls and
+        # replaces a cheap dense update with per-row scatter machinery.
+        # Sparse pays once vocab >> touched rows (~batch size); the
+        # criteo_real TPU v5e sweep over DEEPCTR_SPARSE_MIN_ROWS
+        # (2026-08-19, B=4096): 0 -> 826.9k, 2048 -> 961.2k,
+        # 8192 -> 1.043M, 16384 -> 1.074M, 65536 -> 1.075M,
+        # 131072 -> 1.008M ex/s/chip — knee at ~4x batch, and the
+        # unpacked 93k-vocab table still wants sparse.  Explicit
+        # sparse_table_updates=True forces every table (tests exercise
+        # the machinery at small vocab that way).
+        # DEEPCTR_SPARSE_MIN_ROWS overrides for A/B.
+        if mode == "auto":
+            min_rows = int(_os.environ.get("DEEPCTR_SPARSE_MIN_ROWS",
+                                           16384))
+            spans_map = {p: s for p, s in spans_map.items()
+                         if vocabs[p] >= min_rows}
         # packed tables (param rows != vocab) are updated by PACKED row
         # index: ids map to rows via // pack
         specs = []

@@ -215,3 +215,22 @@ def test_onehot_mode_with_active_rows_packed(monkeypatch):
     assert calls and all(s[0] != full_rows for s in calls), (
         calls[:3], full_rows)
     np.testing.assert_allclose(losses["onehot"], losses["off"], rtol=0.05)
+
+
+def test_gather_mode_auto_per_regime_resolution(monkeypatch):
+    """Pin 'auto's measured per-regime winners (TPU A/B 2026-08-19 +
+    round-2 advisor finding): cast ONLY for substituted slices of BIG
+    (packed) tables; off for full small tables AND substituted slices
+    of small tables (duplicate-id bf16 accumulation is dense at small
+    vocab); env override beats every flag."""
+    from deepctr_tpu import config
+
+    monkeypatch.delenv("DEEPCTR_GATHER_MODE", raising=False)
+    monkeypatch.delenv("DEEPCTR_GATHER_CAST", raising=False)
+    config.set_gather_mode("auto")
+    assert config.gather_mode() == "off"
+    assert config.gather_mode(substituted=True) == "off"
+    assert config.gather_mode(substituted=True, big=True) == "cast"
+    assert config.gather_mode(substituted=False, big=True) == "off"
+    monkeypatch.setenv("DEEPCTR_GATHER_MODE", "onehot")
+    assert config.gather_mode(substituted=True, big=True) == "onehot"

@@ -364,3 +364,36 @@ def test_scatter_pair_update_matches_dense(monkeypatch):
         return m.predict(x, 64)
 
     np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_auto_mode_per_table_gate(monkeypatch):
+    """auto mode keeps only tables with vocab >= DEEPCTR_SPARSE_MIN_ROWS
+    (default 16384 — criteo_real sweep knee, basemodel.py) on the
+    active-rows path once total rows engage it; small tables stay on
+    the dense optax path; explicit True forces every table."""
+    rng = np.random.default_rng(0)
+    # 20 x 60k-vocab unpacked tables: total STORED rows 1.2M engages the
+    # auto path, each is over the 16384 per-table gate; 'small' is under
+    cols = ([SparseFeat("b%d" % i, 60_000, 4) for i in range(20)]
+            + [SparseFeat("small", 50, 4)])
+    x = {f.name: rng.integers(0, f.vocabulary_size, 64) for f in cols}
+    y = rng.integers(0, 2, 64).astype("float32")
+
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    m.compile("adagrad", "binary_crossentropy")   # auto
+    paths = {s[0] for s in m._sparse_specs}
+    assert any("b0" in p for p in paths), paths
+    assert not any("small" in p for p in paths), paths
+    m.fit(x, y, batch_size=64, epochs=1, verbose=0)
+
+    m2 = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    m2.compile("adagrad", "binary_crossentropy",
+               sparse_table_updates=True)          # forced: every table
+    paths2 = {s[0] for s in m2._sparse_specs}
+    assert any("small" in p for p in paths2), paths2
+
+    monkeypatch.setenv("DEEPCTR_SPARSE_MIN_ROWS", "10")
+    m3 = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    m3.compile("adagrad", "binary_crossentropy")   # auto, low gate
+    paths3 = {s[0] for s in m3._sparse_specs}
+    assert any("small" in p for p in paths3), paths3

@@ -27,6 +27,16 @@ BATCH = 4096
 STEPS = 30
 HIDDEN = (400, 400, 400)
 
+# BENCH_CRITEO=1: ablate at the 26 true Criteo-Kaggle cardinalities
+# (mixed one-hot-regime small tables + packed big tables) instead of a
+# uniform BENCH_VOCAB — the criteo_real bench's shape (see bench.py)
+if os.environ.get("BENCH_CRITEO") == "1":
+    VOCABS = [1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3,
+              93145, 5683, 8351593, 3194, 27, 14992, 5461306, 10, 5652,
+              2173, 4, 7046547, 18, 15, 286181, 105, 142572]
+else:
+    VOCABS = [VOCAB] * N_SPARSE
+
 
 def main():
     import jax
@@ -36,7 +46,8 @@ def main():
     from deepctr_tpu.models import DeepFM
 
     dc_config.set_compute_dtype("bfloat16")
-    cols = ([SparseFeat("C%d" % i, VOCAB, EMB) for i in range(N_SPARSE)]
+    cols = ([SparseFeat("C%d" % i, VOCABS[i], EMB)
+             for i in range(N_SPARSE)]
             + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
     model = DeepFM(cols, cols, dnn_hidden_units=HIDDEN)
     model.compile("adagrad", "binary_crossentropy", metrics=[],
@@ -51,7 +62,9 @@ def main():
     optim = model._masked_optim
 
     key = jax.random.PRNGKey(0)
-    ids = jax.random.randint(key, (BATCH, N_SPARSE), 0, VOCAB)
+    ids = jnp.concatenate(
+        [jax.random.randint(jax.random.fold_in(key, c), (BATCH, 1), 0,
+                            VOCABS[c]) for c in range(N_SPARSE)], axis=1)
     dense = jax.random.uniform(key, (BATCH, N_DENSE))
     X = jnp.concatenate([ids.astype(jnp.float32), dense], axis=1)
     y = jax.random.bernoulli(key, 0.25, (BATCH, 1)).astype(jnp.float32)
@@ -82,7 +95,7 @@ def main():
 
     def v_transform(i, carry):
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         probes = [t.reshape(-1)[0].astype(jnp.float32)
                   for t in jax.tree_util.tree_leaves(p_sub)[:4]]
@@ -91,7 +104,7 @@ def main():
 
     def v_fwdbwd(i, carry):
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         g = jax.grad(lambda p: data_loss_of(p, Xs, jax.random.fold_in(
             key, i)))(p_sub)
@@ -104,7 +117,7 @@ def main():
         # like fwdbwd but consumes EVERY grad leaf: the 4-leaf probe lets
         # XLA dead-code-eliminate the table-grad transposes, hiding them
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         g = jax.grad(lambda p: data_loss_of(p, Xs, jax.random.fold_in(
             key, i)))(p_sub)
@@ -114,7 +127,7 @@ def main():
 
     def v_fwd(i, carry):
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         loss = data_loss_of(p_sub, Xs, jax.random.fold_in(key, i))
         return (params, ts, os_, acc + loss)
@@ -124,7 +137,7 @@ def main():
         # isolates the update machinery; subtract the transform variant
         # for the net scatter/gather/math cost
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         grads = jax.tree_util.tree_map(
             lambda t: jnp.full_like(t, 1e-6), p_sub)
@@ -155,7 +168,7 @@ def main():
         # the production step minus row_update: isolates whether the
         # "missing" time lives in the table update when composed
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         rng = jax.random.fold_in(key, i)
         total, grads = jax.value_and_grad(
@@ -168,7 +181,7 @@ def main():
         # transform + REAL grads + row_update, no optax: the update with
         # its true in-step inputs (autodiff gradients, not synthetic)
         params, ts, os_, acc = carry
-        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCABS[0])
         p_sub, Xs, aux = transform(params, ts, Xi)
         rng = jax.random.fold_in(key, i)
         total, grads = jax.value_and_grad(
