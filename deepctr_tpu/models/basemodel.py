@@ -55,6 +55,34 @@ _ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
 _ADAGRAD_EPS = 1e-10
 
 
+def _torch_adagrad(lr, eps=_ADAGRAD_EPS):
+    """torch.optim.Adagrad semantics: acc += g²; step = lr·g/(√acc + eps).
+
+    optax.adagrad is NOT equivalent: it computes g·rsqrt(acc + eps) with
+    a zero-accumulator guard — eps INSIDE the sqrt.  For the tiny
+    first-step gradients of init_std=1e-4 embeddings (g ~ 1e-5, acc =
+    g²) the two step sizes differ by up to √2 (g/√(g²+eps) ≈ 0.7 vs
+    g/(|g|+eps) ≈ 1.0), which the trajectory-equivalence test vs the
+    reference catches (tests/test_trajectory_parity_vs_reference.py).
+    (reference parity: torch.optim.Adagrad as used by
+    deepctr_torch/models/basemodel.py:447-461)
+    """
+    def init_fn(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+
+    def update_fn(updates, state, params=None):
+        new_state = jax.tree_util.tree_map(
+            lambda a, g: a + jnp.square(g.astype(jnp.float32)),
+            state, updates)
+        upd = jax.tree_util.tree_map(
+            lambda g, a: (-lr * g / (jnp.sqrt(a) + eps)).astype(g.dtype),
+            updates, new_state)
+        return upd, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _get_optimizer(optimizer, learning_rate=None):
     """Name -> optax transform with torch-default hyperparameters;
     ``learning_rate`` overrides the name's default.
@@ -70,8 +98,7 @@ def _get_optimizer(optimizer, learning_rate=None):
         if optimizer == "adam":
             return optax.adam(lr, b1=_ADAM_B1, b2=_ADAM_B2, eps=_ADAM_EPS)
         if optimizer == "adagrad":
-            return optax.adagrad(lr, initial_accumulator_value=0.0,
-                                 eps=_ADAGRAD_EPS)
+            return _torch_adagrad(lr)
         return optax.rmsprop(lr, decay=0.99, eps=1e-8)
     if learning_rate is not None:
         raise ValueError("learning_rate is only meaningful with a named "
@@ -858,7 +885,9 @@ class BaseModel(object):
                 A3 = grp["A"].astype(jnp.float32).reshape(Ga, n, 128)
                 gp = g_all + 2.0 * l2s * W3          # lazy L2, touched rows
                 a2 = A3 + gp * gp
-                wn = W3 - lr * gp * jax.lax.rsqrt(a2 + _ADAGRAD_EPS)
+                # torch-Adagrad form: eps OUTSIDE the sqrt (see
+                # _torch_adagrad; the Pallas kernels match)
+                wn = W3 - lr * gp / (jnp.sqrt(a2) + _ADAGRAD_EPS)
                 newpairs = jnp.stack([wn, a2], axis=2).reshape(
                     Ga, 2 * n, 128)
                 new_state["__arena__"] = arena_scatter_rows(
@@ -901,8 +930,8 @@ class BaseModel(object):
                         gp = g.astype(jnp.float32) \
                             + 2.0 * l2_vec[None, :] * w_rows
                         a2 = acc_rows + gp * gp
-                        wn = w_rows - lr * gp * jax.lax.rsqrt(
-                            a2 + _ADAGRAD_EPS)
+                        wn = w_rows - lr * gp / (jnp.sqrt(a2)
+                                                 + _ADAGRAD_EPS)
                         newpairs = jnp.stack([wn, a2], axis=1).reshape(
                             2 * wn.shape[0], wn.shape[1])
                         if update_mode == "scatter_pooled":
@@ -942,7 +971,7 @@ class BaseModel(object):
                     acc = table_state[path]
                     acc_rows = _get_rows(acc, rows) + jnp.square(g)
                     new_state[path] = _set_rows(acc, rows, acc_rows)
-                    step = lr * g * jax.lax.rsqrt(acc_rows + _ADAGRAD_EPS)
+                    step = lr * g / (jnp.sqrt(acc_rows) + _ADAGRAD_EPS)
                 elif opt_name == "adam":
                     st = table_state[path]
                     m = (_ADAM_B1 * _get_rows(st["m"], rows)

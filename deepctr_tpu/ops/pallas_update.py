@@ -8,7 +8,9 @@ WHOLE per-table update into one pass over the touched rows:
 
     (read acc[row])                      windowed async row DMAs
     g' = g + 2*l2*w                      lazy L2 on touched rows
-    adagrad:  acc' = acc + g'^2 ;  w' = w - lr * g' * rsqrt(acc' + eps)
+    adagrad:  acc' = acc + g'^2 ;  w' = w - lr * g' / (sqrt(acc') + eps)
+    (torch.optim.Adagrad form — eps OUTSIDE the sqrt; optax.adagrad
+    differs and diverges for tiny grads, see basemodel._torch_adagrad)
     sgd:                           w' = w - lr * g'
     write w[row] (, write acc[row])
 
@@ -94,7 +96,7 @@ def _make_kernel(lr, eps, adagrad):
         if adagrad:
             a = a_scr[:] + g * g
             a_scr[:] = a
-            w_scr[:] = w - lr * g * jax.lax.rsqrt(a + eps)
+            w_scr[:] = w - lr * g / (jnp.sqrt(a) + eps)
         else:
             w_scr[:] = w - lr * g
 
@@ -260,7 +262,7 @@ def _make_kernel_combined(lr, eps):
         A = jnp.where(even, pltpu.roll(P, two_n - 1, 0), P)  # acc everywhere
         gp = g + 2.0 * l2_ref[:] * W
         anew = A + gp * gp
-        wnew = W - lr * gp * jax.lax.rsqrt(anew + eps)
+        wnew = W - lr * gp / (jnp.sqrt(anew) + eps)
         scr[:] = jnp.where(even, wnew, anew)
 
         phase(wr)

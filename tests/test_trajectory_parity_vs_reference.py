@@ -1,0 +1,192 @@
+"""ENGINE-level training-trajectory equivalence vs DeepCTR-Torch.
+
+The sample-dataset AUC tables (BASELINE.md) are too noisy to support an
+"AUC parity" claim (39-row test sets).  This is the stronger, scalable
+substitute: identical init weights (copied torch -> jax), identical data
+and batch order, >= 60 optimizer steps driven through BOTH frameworks'
+public ``fit`` loops, then per-epoch loss trajectories, final parameters
+and final predictions compared at tight tolerance.  A pass means the
+whole training semantics chain matches the reference: loss =
+sum-reduction data term + explicit per-group L2 + aux
+(deepctr_torch/models/basemodel.py:232-305), optimizer hyper-defaults
+(basemodel.py:433-461), epoch-loss accounting (basemodel.py:278-285).
+
+Skipped without the reference checkout."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+if not os.path.isdir("/root/reference/deepctr_torch"):
+    pytest.skip("reference checkout not available", allow_module_level=True)
+sys.path.insert(0, "/root/reference")
+
+F, V, E = 4, 50, 4
+N, B, EPOCHS = 512, 128, 15   # 4 steps/epoch x 15 = 60 optimizer steps
+
+
+def _data(seed=3):
+    rng = np.random.default_rng(seed)
+    x = {"s%d" % i: rng.integers(0, V, N) for i in range(F)}
+    x["d0"] = rng.random(N).astype(np.float32)
+    # a learnable signal so the trajectory actually moves
+    y = ((x["s0"] + x["s1"]) % 2).astype(np.float32)
+    return x, y
+
+
+def _copy_weights(tm, jm, n_dnn_layers, cin_layers=0):
+    """torch state_dict -> our param tree (fused wide column layout)."""
+    params = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(),
+                                    jm.params)
+    # .copy() is load-bearing: .numpy() VIEWS the live torch parameter
+    # buffers, and jax's CPU device_put can zero-copy alias a numpy
+    # array — without the copy, tm.fit() would mutate jm's params
+    sd = {k: v.detach().numpy().copy()
+          for k, v in tm.state_dict().items()}
+    for i in range(F):
+        name = "s%d" % i
+        params["embedding_dict"][name] = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+    params["linear_model"]["weight"] = sd["linear_model.weight"]
+    for li in range(n_dnn_layers):
+        params["dnn"]["dense_%d" % li]["kernel"] = \
+            sd["dnn.linears.%d.weight" % li].T
+        params["dnn"]["dense_%d" % li]["bias"] = \
+            sd["dnn.linears.%d.bias" % li]
+    for li in range(cin_layers):
+        params["cin"]["conv_w_%d" % li] = \
+            sd["cin.conv1ds.%d.weight" % li][:, :, 0]
+        params["cin"]["conv_b_%d" % li] = sd["cin.conv1ds.%d.bias" % li]
+    params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
+    if cin_layers:
+        params["cin_linear"]["kernel"] = sd["cin_linear.weight"].T
+    if "out.bias" in sd:
+        params["out"]["bias"] = sd["out.bias"]
+    jm.set_weights({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                    "batch_stats": jm.batch_stats})
+    return params
+
+
+def _final_param_pairs(jm, tm, n_dnn_layers, cin_layers=0):
+    """(ours, reference) array pairs for every trained leaf."""
+    p = jax.tree_util.tree_map(np.asarray, jm.get_weights()["params"])
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    pairs = []
+    for i in range(F):
+        name = "s%d" % i
+        fused = p["embedding_dict"][name]
+        pairs.append((fused[:, :E], sd["embedding_dict.%s.weight" % name]))
+        pairs.append((fused[:, E:],
+                      sd["linear_model.embedding_dict.%s.weight" % name]))
+    pairs.append((p["linear_model"]["weight"], sd["linear_model.weight"]))
+    for li in range(n_dnn_layers):
+        pairs.append((p["dnn"]["dense_%d" % li]["kernel"],
+                      sd["dnn.linears.%d.weight" % li].T))
+        pairs.append((p["dnn"]["dense_%d" % li]["bias"],
+                      sd["dnn.linears.%d.bias" % li]))
+    for li in range(cin_layers):
+        pairs.append((p["cin"]["conv_w_%d" % li],
+                      sd["cin.conv1ds.%d.weight" % li][:, :, 0]))
+        pairs.append((p["cin"]["conv_b_%d" % li],
+                      sd["cin.conv1ds.%d.bias" % li]))
+    pairs.append((p["dnn_linear"]["kernel"], sd["dnn_linear.weight"].T))
+    if cin_layers:
+        pairs.append((p["cin_linear"]["kernel"], sd["cin_linear.weight"].T))
+    pairs.append((p["out"]["bias"], sd["out.bias"]))
+    return pairs
+
+
+def _run_both(torch_cls, jax_cls, optimizer, kwargs, cin_layers=0,
+              sparse_updates=False):
+    import torch
+    from deepctr_torch.inputs import (SparseFeat as TSparse,
+                                      DenseFeat as TDense)
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+
+    torch.manual_seed(0)
+    x, y = _data()
+    tcols = [TSparse("s%d" % i, V, E) for i in range(F)] + [TDense("d0", 1)]
+    jcols = [SparseFeat("s%d" % i, V, E) for i in range(F)] + [
+        DenseFeat("d0", 1)]
+    tm = torch_cls(tcols, tcols, dnn_dropout=0, **kwargs)
+    jm = jax_cls(jcols, jcols, dnn_dropout=0, **kwargs)
+    n_dnn = len(kwargs.get("dnn_hidden_units", (256, 128)))
+    _copy_weights(tm, jm, n_dnn, cin_layers)
+
+    tm.compile(optimizer, "binary_crossentropy", metrics=[])
+    jm.compile(optimizer, "binary_crossentropy", metrics=[],
+               sparse_table_updates=sparse_updates)
+    th = tm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    jh = jm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    return tm, jm, th.history["loss"], jh.history["loss"], x, n_dnn
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "adam", "sgd"])
+def test_deepfm_trajectory_equivalence(optimizer):
+    from deepctr_torch.models import DeepFM as TorchDeepFM
+    from deepctr_tpu.models import DeepFM
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchDeepFM, DeepFM, optimizer, dict(dnn_hidden_units=(16, 8)))
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
+    for ours, ref in _final_param_pairs(jm, tm, n_dnn):
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_xdeepfm_trajectory_equivalence():
+    from deepctr_torch.models import xDeepFM as TorchXDeepFM
+    from deepctr_tpu.models import xDeepFM
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchXDeepFM, xDeepFM, "adagrad",
+        dict(dnn_hidden_units=(16, 8), cin_layer_size=(6, 4)),
+        cin_layers=2)
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
+    for ours, ref in _final_param_pairs(jm, tm, n_dnn, cin_layers=2):
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_deepfm_trajectory_equivalence_sparse_updates():
+    """The ACTIVE-ROWS path (sparse_table_updates=True forces every
+    table through the touched-rows transform + per-row optimizer
+    updates) must trace the same trajectory as the reference's dense
+    engine.  With L2 regs ZEROED the match is exact (measured 6e-8 over
+    60 steps): transform + segment-summed duplicate grads + row
+    scatters reproduce dense autograd bit-near.
+
+    With L2 on, a DELIBERATE divergence remains (lazy L2): the
+    reference's dense reg gradient reaches UNTOUCHED rows too, and
+    under torch-Adagrad a near-zero row's first reg-only step is
+    ~lr*sign(w) regardless of gradient magnitude (g/(sqrt(g^2)+eps) ~ 1)
+    — i.e. the reference kicks every rarely-touched embedding row by
+    ~lr via regularization alone.  Lazy L2 regularizes rows only when
+    data touches them.  The with-reg loss trajectory stays within 1e-3
+    (bounded here); per-row params of rarely-touched rows may differ by
+    ~lr."""
+    from deepctr_torch.models import DeepFM as TorchDeepFM
+    from deepctr_tpu.models import DeepFM
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchDeepFM, DeepFM, "adagrad",
+        dict(dnn_hidden_units=(16, 8), l2_reg_embedding=0.0,
+             l2_reg_linear=0.0),
+        sparse_updates=True)
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
+    for ours, ref in _final_param_pairs(jm, tm, n_dnn):
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchDeepFM, DeepFM, "adagrad", dict(dnn_hidden_units=(16, 8)),
+        sparse_updates=True)
+    np.testing.assert_allclose(jl, tl, rtol=2e-3, atol=2e-4)
