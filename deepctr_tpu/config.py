@@ -124,22 +124,39 @@ def gather_mode(substituted=False, big=False):
 _EMBEDDING_EXCHANGE = "gspmd"
 _EXCHANGE_MESH = None
 _A2A_SLACK = 2.0
+_A2A_ON_OVERFLOW = "error"
 
 
-def set_embedding_exchange(mode, mesh=None, a2a_slack=2.0):
+def set_embedding_exchange(mode, mesh=None, a2a_slack=2.0,
+                           on_overflow="error"):
     """Select how row-sharded embedding lookups exchange rows on a mesh.
 
     ``mesh`` is required for the explicit modes (shard_map needs it);
     read at model TRACE time, so set this before the first fit/predict.
+
+    ``on_overflow`` (a2a only): capacity overflow is data-dependent
+    inside jit, so it cannot raise —
+      "error" (default): POISON the lookup with NaN so the first
+          overflowing step fails unmissably (NaN loss) instead of
+          silently training on zero rows; raise ``a2a_slack`` to fix.
+      "drop": keep the zero-row semantics (capacity sampling) —
+          explicit opt-in, ids beyond a bucket's capacity embed as 0.
     """
-    global _EMBEDDING_EXCHANGE, _EXCHANGE_MESH, _A2A_SLACK
+    global _EMBEDDING_EXCHANGE, _EXCHANGE_MESH, _A2A_SLACK, \
+        _A2A_ON_OVERFLOW
     assert mode in ("gspmd", "psum", "a2a")
+    assert on_overflow in ("error", "drop")
     if mode != "gspmd" and mesh is None:
         raise ValueError("explicit exchange modes need the mesh")
     _EMBEDDING_EXCHANGE = mode
     _EXCHANGE_MESH = mesh
     _A2A_SLACK = float(a2a_slack)
+    _A2A_ON_OVERFLOW = on_overflow
 
 
 def embedding_exchange():
     return _EMBEDDING_EXCHANGE, _EXCHANGE_MESH, _A2A_SLACK
+
+
+def a2a_on_overflow():
+    return _A2A_ON_OVERFLOW

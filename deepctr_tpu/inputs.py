@@ -140,7 +140,19 @@ class EmbeddingDict(nn.Module):
             from .parallel.embedding import a2a_lookup, psum_lookup
             if mode == "psum":
                 return psum_lookup(mesh, table, row_ids)
-            return a2a_lookup(mesh, table, row_ids, slack=slack)
+            rows, n_dropped = a2a_lookup(mesh, table, row_ids,
+                                         slack=slack,
+                                         return_overflow=True)
+            if config.a2a_on_overflow() == "error":
+                # overflow cannot raise inside jit — poison the lookup
+                # so the first overflowing step yields an unmissable
+                # NaN loss instead of silently training on zero rows
+                # (raise a2a_slack, or opt into "drop" semantics via
+                # set_embedding_exchange(..., on_overflow="drop"))
+                rows = rows + jnp.where(
+                    n_dropped > 0, jnp.float32(jnp.nan),
+                    jnp.float32(0)).astype(rows.dtype)
+            return rows
         ct = config.compute_dtype()
         # eligible: the active-rows SUBSTITUTED slice (any row-count
         # mismatch vs the declared table — the padded slice can be

@@ -69,8 +69,11 @@ def a2a_lookup(mesh, sharded_table, ids, axis="model", slack=2.0,
 
     Capacity overflow is a data-dependent event inside jit, so it cannot
     raise; with ``return_overflow=True`` the call also returns the number
-    of dropped ids as an int32 scalar, which callers should check (the
-    engine's a2a backend asserts it is zero between steps)."""
+    of dropped ids as an int32 scalar.  The engine's a2a backend
+    (inputs.EmbeddingDict._gather) consumes it: by default it POISONS
+    the looked-up rows with NaN when any id dropped, so overflow fails
+    loudly at the first step; ``set_embedding_exchange(...,
+    on_overflow="drop")`` opts into the silent zero-row semantics."""
     M = mesh.shape[axis]
     V, E = sharded_table.shape
     rows_per = V // M

@@ -41,14 +41,29 @@ def test_custom_elementwise_loss():
     assert abs(_fit_with(sq) - _fit_with("mse")) < 1e-6
 
 
-def test_reference_style_reduction_loss():
+def test_reference_style_reduction_loss_masks_padding():
+    """A reference-style reduction= callable is now invoked with
+    reduction='none' and masked by the engine, so a padded trailing
+    batch (96 % 64 != 0 here) trains on exactly the real rows — its
+    loss must MATCH the built-in mse route (round-2 verdict #7: the
+    old reduction='sum' call silently trained on padding)."""
     def ref_style(y_pred, y_true, reduction="sum"):
-        assert reduction == "sum"
+        if reduction == "none":
+            return (y_pred - y_true) ** 2
         return jnp.sum((y_pred - y_true) ** 2)
-    # NOTE: this form cannot see sample weights; with a padded trailing
-    # batch it also sums the padded rows (documented in _wrap_custom) —
-    # use 96 % 64 != 0 here deliberately and just require finiteness
-    assert np.isfinite(_fit_with(ref_style))
+    assert abs(_fit_with(ref_style) - _fit_with("mse")) < 1e-6
+
+
+def test_reduction_sum_only_loss_fails_loudly():
+    """A callable that only implements reduction='sum' cannot be
+    masked; it must error with the protocol message, not silently
+    include padding rows."""
+    import pytest
+    def sum_only(y_pred, y_true, reduction="sum"):
+        assert reduction == "sum", "only sum supported"
+        return jnp.sum((y_pred - y_true) ** 2)
+    with pytest.raises(Exception, match="reduction='none'|only sum"):
+        _fit_with(sum_only)
 
 
 def test_mae_by_name_trains():

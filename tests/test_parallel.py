@@ -165,3 +165,37 @@ def test_explicit_exchange_matches_gspmd(mode):
     finally:
         dc_config.set_embedding_exchange("gspmd")
     assert np.allclose(p_ref, p, atol=1e-5), np.abs(p_ref - p).max()
+
+
+@pytest.mark.parametrize("on_overflow", ["error", "drop"])
+def test_a2a_overflow_fails_loudly(on_overflow):
+    """Skewed ids + slack=1.0 overflow an a2a bucket.  Default
+    ("error"): the lookup is NaN-poisoned so predictions/losses are
+    unmissably non-finite at the first step — NOT silent zero-row
+    training (round-2 advisor finding: the engine never consumed
+    return_overflow).  Explicit on_overflow="drop" keeps the
+    capacity-sampling semantics (finite outputs, dropped ids embed 0)."""
+    from deepctr_tpu import config as dc_config
+    from deepctr_tpu.features import SparseFeat
+    rng = np.random.default_rng(0)
+    N, V = 128, 64
+    # every id in shard 0's row range: shard 0's bucket gets ~all of
+    # them, capacity ceil(N/8)*1.0 = 16 << 128 -> guaranteed overflow
+    x = {"c0": rng.integers(0, V // 8, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", V, 8)]
+    mesh = make_mesh((4, 2))
+    try:
+        dc_config.set_embedding_exchange("a2a", mesh, a2a_slack=1.0,
+                                         on_overflow=on_overflow)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                   shard_embeddings=True)
+        m.compile("adagrad", "binary_crossentropy")
+        p = m.predict(x, N)
+        if on_overflow == "error":
+            assert not np.all(np.isfinite(p)), (
+                "overflowing a2a lookup must poison predictions")
+        else:
+            assert np.all(np.isfinite(p))
+    finally:
+        dc_config.set_embedding_exchange("gspmd")
