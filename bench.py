@@ -227,6 +227,23 @@ def main():
                             dnn_hidden_units=HIDDEN), 1)
         except Exception as e:
             extras["deepfm_criteo_real_cardinality_eps"] = "error: %s" % e
+        try:
+            # DIEN training at realistic history length (masked AUGRU
+            # scans + neg-sampling aux loss — the reference's worst
+            # serial bottleneck is its per-timestep python GRU loop,
+            # deepctr_torch/layers/sequence.py:285-320; full maxlen
+            # grid: tools/seq_train_bench.py)
+            import importlib.util as _ilu
+            _spec = _ilu.spec_from_file_location(
+                "seq_train_bench",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "seq_train_bench.py"))
+            _stb = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_stb)
+            extras["dien_train_maxlen100_eps"] = round(
+                _stb.bench_ours("dien", 100), 1)
+        except Exception as e:
+            extras["dien_train_maxlen100_eps"] = "error: %s" % e
         record["extras"] = extras
     print(json.dumps(record))
 
