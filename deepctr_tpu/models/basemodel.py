@@ -447,11 +447,26 @@ class BaseModel(object):
         per touched row (DMA issue rate is the measured bound —
         tools/update_micro.py).  The params leaf then lags during
         training and is re-synced from the combined buffer before any
-        read (predict/get_weights/checkpoint) — see _sync_params."""
+        read (predict/get_weights/checkpoint) — see _sync_params.
+
+        ROW-SHARDED tables keep the combined layout too (round-2
+        verdict #3): the update runs in a shard_map where the Pallas
+        scatter is legal per shard (parallel/update.py) — requires the
+        pair rows to stay co-located (rows %% model-axis size == 0) and
+        the default 'scatter' update mode.  DEEPCTR_FORCE_COMBINED=1
+        forces the layout without Pallas (XLA drop-scatter fallback) so
+        the CPU dryrun/tests exercise the sharded combined path."""
         from .. import config
-        return (getattr(w, "ndim", 0) == 2 and w.shape[1] == 128
-                and config.use_pallas()
-                and (self.mesh is None or not self.shard_embeddings))
+        if getattr(w, "ndim", 0) != 2 or w.shape[1] != 128:
+            return False
+        enabled = (config.use_pallas()
+                   or _os.environ.get("DEEPCTR_FORCE_COMBINED") == "1")
+        if self.mesh is None or not self.shard_embeddings:
+            return enabled
+        return (enabled
+                and self._update_mode() == "scatter"
+                and "model" in self.mesh.shape
+                and w.shape[0] % self.mesh.shape["model"] == 0)
 
     def _init_table_state(self, w):
         if self._optimizer_name == "adagrad":
@@ -648,6 +663,7 @@ class BaseModel(object):
         # step, plus a silently dropped donation) — XLA's scatter keeps
         # the P('model', None) sharding instead
         sharded_tables = self.mesh is not None and self.shard_embeddings
+        mesh = self.mesh
         # DEEPCTR_SUBST_BARRIER=1 (opt-in): optimization_barrier on each
         # substituted slice, forcing XLA to materialize it once instead
         # of composing the combined-buffer gather into every downstream
@@ -900,6 +916,19 @@ class BaseModel(object):
                 g = _get_path(grads, path)                     # [n, width]
                 rows, n_valid, w_rows_cached, acc_cached = aux[path]
                 st = table_state.get(path)
+                if (sharded_tables and isinstance(st, dict)
+                        and "combined" in st):
+                    # row-sharded combined storage: shard-local update
+                    # under shard_map (each shard searchsorts its slot
+                    # range in the sorted starts, runs the adagrad math
+                    # on its rows, and scatters locally — Pallas kernel
+                    # on TPU, XLA drop-scatter elsewhere); see
+                    # parallel/update.py (round-2 verdict #3)
+                    from ..parallel.update import sharded_combined_update
+                    new_state[path] = {"combined": sharded_combined_update(
+                        mesh, st["combined"], g, w_rows_cached, rows * 2,
+                        n_valid, l2_vec, lr, _ADAGRAD_EPS)}
+                    continue
                 if (isinstance(st, dict) and "combined" in st
                         and combined_update_supported(st["combined"], g,
                                                       rows)):
