@@ -1412,82 +1412,170 @@ class BaseModel(object):
                     initial_epoch, validation_data, callbacks,
                     steps_per_epoch, shuffle=True):
         """Chunked/streaming training: one pass over ``make_iter()`` per
-        epoch; each yielded (x_chunk, y_chunk) is assembled host-side,
-        shuffled WITHIN the chunk (global shuffle of an out-of-core
-        dataset is the data pipeline's job), and consumed in fixed-shape
-        ``batch_size`` steps with the same per-batch semantics as
-        :meth:`_fit` (masked padding, per-batch train metrics when
-        verbose > 0)."""
+        epoch; each yielded (x_chunk, y_chunk) is assembled host-side
+        and shuffled WITHIN the chunk (global shuffle of an out-of-core
+        dataset is the data pipeline's job).
+
+        Host/device DOUBLE BUFFERING (round-2 verdict #6 — the old loop
+        was a synchronous parse -> upload -> step per batch, with a
+        device sync on every step's ``float(total_loss)``):
+
+          * a background thread runs the host half (iterator pull,
+            native assembly, hashing, shuffle, padding) one chunk
+            AHEAD, feeding a 2-deep queue;
+          * each prepped chunk trains inside ONE jitted ``fori_loop``
+            (per-chunk device-resident runner, cached per chunk
+            geometry like the epoch runners), so dispatch overhead
+            amortizes over the chunk and the device never waits on
+            per-step readbacks — chunk losses stay on device until the
+            epoch ends (one readback per chunk, deferred).
+
+        Train metrics (verbose > 0) are computed once over the epoch's
+        predictions, matching :meth:`_fit_device` (deliberate deviation
+        from the reference's per-batch averaging, SURVEY.md §2.3)."""
+        import queue as _queuemod
+        import threading
+
         if batch_size is None:
             batch_size = 256
         self._ensure_compiled()
+        step = self._train_step.__wrapped__
+        B = batch_size
         base_rng = jax.random.PRNGKey(self.seed + 1)
         rng_shuffle = np.random.default_rng(self.seed)
         callbacks = CallbackList((callbacks or []) + [self.history])
         callbacks.set_model(self)
         callbacks.on_train_begin()
         self.stop_training = False
+        need_preds = bool(verbose > 0 and self.metrics)
+        n_out = self.num_tasks
         global_step = 0
+
+        def get_runner(nb):
+            key = ("stream", B, nb, n_out, need_preds)
+            run = self._epoch_runners.get(key)
+            if run is not None:
+                return run
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def run(params, opt_state, table_state, batch_stats, rng,
+                    X, y, sw):
+                def body(i, carry):
+                    p, o, ts, bs, losses, preds = carry
+                    xb = jax.lax.dynamic_slice_in_dim(X, i * B, B)
+                    yb = jax.lax.dynamic_slice_in_dim(y, i * B, B)
+                    swb = jax.lax.dynamic_slice_in_dim(sw, i * B, B)
+                    rng_i = jax.random.fold_in(rng, i)
+                    p, o, ts, bs, _, total, y_pred = step(
+                        p, o, ts, bs, rng_i, xb, yb, swb)
+                    losses = losses.at[i].set(total)
+                    if need_preds:
+                        preds = jax.lax.dynamic_update_slice_in_dim(
+                            preds,
+                            y_pred.reshape(B, -1).astype(jnp.float32),
+                            i * B, 0)
+                    return (p, o, ts, bs, losses, preds)
+
+                init = (params, opt_state, table_state, batch_stats,
+                        jnp.zeros((nb,), jnp.float32),
+                        jnp.zeros((nb * B, n_out) if need_preds else (),
+                                  jnp.float32))
+                return jax.lax.fori_loop(0, nb, body, init)
+
+            self._epoch_runners[key] = run
+            return run
+
+        def prep_chunk(x_chunk, y_chunk):
+            """Host half: assemble + shuffle + pad to a batch multiple."""
+            X = self._assemble_x(x_chunk)
+            yc = np.asarray(y_chunk, dtype=np.float32)
+            if yc.ndim == 1:
+                yc = yc[:, None]
+            if shuffle:
+                order = rng_shuffle.permutation(len(X))
+                X, yc = X[order], yc[order]
+            n = len(X)
+            nb = (n - 1) // B + 1
+            n_pad = nb * B
+            sw = np.zeros(n_pad, np.float32)
+            sw[:n] = 1.0
+            if n_pad > n:
+                X = np.concatenate(
+                    [X, np.zeros((n_pad - n, X.shape[1]), np.float32)])
+                yc = np.concatenate(
+                    [yc, np.zeros((n_pad - n, yc.shape[1]), np.float32)])
+            return X, yc, sw, n, nb
+
         for epoch in range(initial_epoch, epochs):
             callbacks.on_epoch_begin(epoch)
             start_time = time.time()
-            total_loss_epoch, sample_num, steps = 0.0, 0, 0
-            train_result = {}
+            sample_num, steps = 0, 0
+            loss_parts = []    # device arrays; read back once at epoch end
+            pred_parts, y_parts = [], []
+            q = _queuemod.Queue(maxsize=2)
+            stop = threading.Event()
+
+            def produce():
+                try:
+                    for x_chunk, y_chunk in make_iter():
+                        if stop.is_set():
+                            return
+                        q.put(prep_chunk(x_chunk, y_chunk))
+                    q.put(None)
+                except BaseException as e:   # surfaced on the main thread
+                    q.put(e)
+
+            worker = threading.Thread(target=produce, daemon=True)
+            worker.start()
             try:
-                for x_chunk, y_chunk in make_iter():
-                    X = self._assemble_x(x_chunk)
-                    yc = np.asarray(y_chunk, dtype=np.float32)
-                    if yc.ndim == 1:
-                        yc = yc[:, None]
-                    if shuffle:
-                        order = rng_shuffle.permutation(len(X))
-                        X, yc = X[order], yc[order]
-                    for lo in range(0, len(X), batch_size):
-                        if steps_per_epoch and steps >= steps_per_epoch:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    X, yc, sw, n, nb = item
+                    if steps_per_epoch and steps + nb > steps_per_epoch:
+                        nb = steps_per_epoch - steps
+                        if nb <= 0:
+                            stop.set()
                             break
-                        xb = X[lo:lo + batch_size]
-                        yb = yc[lo:lo + batch_size]
-                        n_valid = len(xb)
-                        if n_valid < batch_size:
-                            pad = batch_size - n_valid
-                            xb = np.concatenate(
-                                [xb,
-                                 np.zeros((pad, X.shape[1]), np.float32)])
-                            yb = np.concatenate(
-                                [yb,
-                                 np.zeros((pad, yb.shape[1]), np.float32)])
-                        sw = np.zeros(batch_size, np.float32)
-                        sw[:n_valid] = 1.0
-                        rng = jax.random.fold_in(base_rng, global_step)
-                        xb, yb, swb = self._put_batch(xb, yb, sw)
-                        (self.params, self.opt_state, self.table_state,
-                         self.batch_stats, _, total_loss,
-                         y_pred) = self._train_step(
-                            self.params, self.opt_state, self.table_state,
-                            self.batch_stats, rng, xb, yb, swb)
-                        global_step += 1
-                        steps += 1
-                        sample_num += n_valid
-                        total_loss_epoch += float(total_loss)
-                        if verbose > 0 and self.metrics:
-                            y_np = np.asarray(yb)[:n_valid]
-                            p_np = np.asarray(y_pred).astype(
-                                "float64")[:n_valid]
-                            if self.num_tasks == 1:
-                                y_np, p_np = (y_np.reshape(-1),
-                                              p_np.reshape(-1))
-                            for name, metric_fun in self.metrics.items():
-                                train_result.setdefault(name, []).append(
-                                    metric_fun(y_np, p_np))
+                        X, yc, sw = X[:nb * B], yc[:nb * B], sw[:nb * B]
+                        n = int(sw.sum())
+                    Xd, yd, swd = self._put_batch(
+                        jnp.asarray(X), jnp.asarray(yc), jnp.asarray(sw))
+                    rng = jax.random.fold_in(base_rng, global_step)
+                    (self.params, self.opt_state, self.table_state,
+                     self.batch_stats, losses, preds) = get_runner(nb)(
+                        self.params, self.opt_state, self.table_state,
+                        self.batch_stats, rng, Xd, yd, swd)
+                    loss_parts.append(losses)
+                    if need_preds:
+                        pred_parts.append(preds[:n])
+                        y_parts.append(yc[:n])
+                    global_step += nb
+                    steps += nb
+                    sample_num += n
                     if steps_per_epoch and steps >= steps_per_epoch:
+                        stop.set()
                         break
             finally:
                 # even on interrupt: any steps that ran leave combined-
                 # storage params lagging table_state
+                stop.set()
                 self._mark_params_stale()
+                worker.join(timeout=30)
+            total_loss_epoch = float(sum(
+                jnp.sum(l) for l in loss_parts)) if loss_parts else 0.0
             epoch_logs = {"loss": total_loss_epoch / max(sample_num, 1)}
-            for name, result in train_result.items():
-                epoch_logs[name] = np.sum(result) / max(steps, 1)
+            if need_preds and pred_parts:
+                y_np = np.concatenate(y_parts)
+                p_np = np.concatenate(
+                    [np.asarray(p) for p in pred_parts]).astype("float64")
+                if self.num_tasks == 1:
+                    y_np, p_np = y_np.reshape(-1), p_np.reshape(-1)
+                for name, metric_fun in self.metrics.items():
+                    epoch_logs[name] = metric_fun(y_np, p_np)
             if validation_data:
                 val_x, val_y = validation_data[:2]
                 for name, result in self.evaluate(val_x, val_y,
