@@ -64,8 +64,16 @@ def _device_batch(key, input_dim, feature_index):
     import jax.numpy as jnp
     # feature_index order: 26 sparse spans then 13 dense spans
     vocabs = VOCABS if VOCABS is not None else [VOCAB] * N_SPARSE
-    raw = jax.random.randint(key, (BATCH, N_SPARSE), 0, 1 << 30)
-    ids = raw % jnp.asarray(vocabs, jnp.int32)[None, :]
+    skew = float(os.environ.get("BENCH_SKEW", "0"))
+    if skew > 0:
+        # power-law id distribution (real CTR ids are heavy-headed):
+        # id = floor(V * u^skew) concentrates mass near id 0
+        u = jax.random.uniform(key, (BATCH, N_SPARSE))
+        ids = (jnp.asarray(vocabs, jnp.float32)[None, :]
+               * u ** skew).astype(jnp.int32)
+    else:
+        raw = jax.random.randint(key, (BATCH, N_SPARSE), 0, 1 << 30)
+        ids = raw % jnp.asarray(vocabs, jnp.int32)[None, :]
     dense = jax.random.uniform(key, (BATCH, N_DENSE))
     X = jnp.concatenate([ids.astype(jnp.float32), dense], axis=1)
     y = jax.random.bernoulli(key, 0.25, (BATCH, 1)).astype(jnp.float32)
@@ -102,7 +110,13 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
         def body(i, carry):
             p, o, ts, bs = carry
             rng = jax.random.fold_in(key, i)
-            p, o, ts, bs, _, total, _ = step(p, o, ts, bs, rng, X, y, sw)
+            # roll the batch per step: with a loop-INVARIANT X, XLA may
+            # hoist the id-only dedup work (sorts, inverse maps, the X
+            # rewrite) out of the loop — production steps see fresh ids
+            # every batch, so the bench must too (same id multiset, so
+            # the compared work is identical)
+            xb = jnp.roll(X, i, axis=0)
+            p, o, ts, bs, _, total, _ = step(p, o, ts, bs, rng, xb, y, sw)
             return (p, o, ts, bs)
         p, o, ts, bs = jax.lax.fori_loop(
             0, n, body, (params, opt_state, table_state, batch_stats))

@@ -22,3 +22,7 @@ from . import serving
 from .data import criteo_stream, criteo_columns
 
 __version__ = "0.1.0"
+
+from .utils.version import check_version
+
+check_version(__version__)   # no-op unless the env provides a latest

@@ -91,3 +91,20 @@ def test_history_accumulates():
     assert h.history["loss"] == [1.0, 0.5]
     assert h.history["auc"] == [0.8]
     assert h.epoch == [0, 1]
+
+
+def test_check_version_env_pushed(monkeypatch, caplog):
+    """Network-free version check (reference utils.py:19-44 parity with
+    the transport inverted): the environment pushes the latest version;
+    newer -> logged warning, same/older/absent -> silent no-op."""
+    import logging
+    from deepctr_tpu.utils.version import check_version
+
+    monkeypatch.delenv("DEEPCTR_TPU_LATEST_VERSION", raising=False)
+    assert check_version("0.1.0") is None
+    monkeypatch.setenv("DEEPCTR_TPU_LATEST_VERSION", "0.2.0")
+    with caplog.at_level(logging.WARNING):
+        assert check_version("0.1.0") is True
+    assert any("0.2.0 is available" in r.message for r in caplog.records)
+    assert check_version("0.2.0") is False
+    assert check_version("1.0.0") is False

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 BATCH = 4096
 STEPS = 20
-N_SPARSE, VOCAB, EMB = 16, 16384, 32
+N_SPARSE, VOCAB = 16, 16384
+EMB = int(os.environ.get("EXCHANGE_EMB", "32"))
 
 
 def measure(mode, mesh_shape=(4, 2)):
@@ -83,7 +84,7 @@ def measure(mode, mesh_shape=(4, 2)):
 def main():
     for mode in ("gspmd", "psum", "a2a"):
         eps = measure(mode)
-        print(json.dumps({"exchange": mode,
+        print(json.dumps({"exchange": mode, "emb_dim": EMB,
                           "examples_per_sec": round(eps, 1)}), flush=True)
 
 
