@@ -966,9 +966,24 @@ class BaseModel(object):
                         if update_mode == "scatter_pooled":
                             pooled.append((path, st["combined"], newpairs,
                                            rows * 2, n_valid))
-                        else:
+                        elif dc_config.use_pallas():
                             new_state[path] = {"combined": scatter_rows(
                                 comb, newpairs, rows * 2, n_valid, L=2)}
+                        else:
+                            # combined layout without a Pallas backend
+                            # (CPU: DEEPCTR_FORCE_COMBINED / leaked
+                            # set_use_pallas between state-init and
+                            # trace): XLA drop-scatter of the pair rows —
+                            # same semantics, measured-slower on TPU
+                            prs = jnp.stack(
+                                [wn, a2], axis=1)       # [n, 2, width]
+                            new_state[path] = {"combined":
+                                comb.reshape(-1, 2, comb.shape[1]).at[
+                                    rows].set(
+                                    prs, mode="drop",
+                                    indices_are_sorted=True,
+                                    unique_indices=True).reshape(
+                                    comb.shape)}
                     else:
                         new_state[path] = {
                             "combined": fused_row_update_combined(

@@ -397,3 +397,35 @@ def test_auto_mode_per_table_gate(monkeypatch):
     m3.compile("adagrad", "binary_crossentropy")   # auto, low gate
     paths3 = {s[0] for s in m3._sparse_specs}
     assert any("small" in p for p in paths3), paths3
+
+
+def test_combined_layout_without_pallas_xla_fallback(monkeypatch):
+    """DEEPCTR_FORCE_COMBINED=1 on the CPU backend (and any leaked
+    set_use_pallas between state init and trace) must NOT reach a
+    pallas_call: the unsharded combined path falls back to an XLA
+    drop-scatter of the (w, acc) pair rows and matches the dense
+    trajectory exactly (reg off)."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+        else:
+            monkeypatch.delenv("DEEPCTR_FORCE_COMBINED", raising=False)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=True)
+        if force:
+            st = m.table_state.get("embedding_dict/big")
+            assert isinstance(st, dict) and "combined" in st
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)

@@ -138,7 +138,7 @@ def main():
     # passed as jit args — isolates lookup cost from transform cost
     only_env = os.environ.get("BISECT_ONLY")
     p_sub0 = Xs0 = None
-    if not only_env or "lookup_only" in only_env:
+    if not only_env or "lookup" in only_env:
         p_sub0, Xs0, _ = jax.jit(transform)(
             model.params, model.table_state, X)
 
@@ -161,6 +161,42 @@ def main():
             y_pred.reshape(-1).astype(jnp.float32), y.reshape(-1), sw)
             + reg_fn(p_sub) + aux_l)
 
+    # grad stages: the real step differentiates wrt the SUBSTITUTED tree
+    # (transform is outside the grad — indices are int); these isolate
+    # the backward's cost: grad_full - full = whole bwd; grad_lookup -
+    # lookup_only = bwd of the lookups alone (the duplicate-id cotangent
+    # accumulation into the [n, w] substituted slices)
+    def s_grad_full(i, params, ts):
+        Xi = X.at[0, 0].set((X[0, 0].astype(jnp.int32) + i) % VOCAB)
+        p_sub, Xs, aux = transform(params, ts, Xi)
+
+        def loss_of(p):
+            y_pred, _, aux_l = forward(p, model.batch_stats, Xs, True,
+                                       jax.random.fold_in(key, i))
+            return (loss_fn_builder(
+                y_pred.reshape(-1).astype(jnp.float32), y.reshape(-1), sw)
+                + reg_fn(p) + aux_l)
+
+        g = jax.grad(loss_of)(p_sub)
+        return sum(t.astype(jnp.float32).reshape(-1)[0]
+                   for t in jax.tree_util.tree_leaves(g))
+
+    def s_grad_lookup(i, p_sub, _ts):
+        Xi = Xs0.at[0, 0].set(((Xs0[0, 0].astype(jnp.int32) + i)
+                               % 64).astype(Xs0.dtype))
+
+        def probe(p):
+            se, dv = model.module.apply(
+                {"params": p}, Xi, dnn_cols,
+                method=lambda mod, Xs, cols:
+                    mod.input_from_feature_columns(Xs, cols))
+            return (sum(jnp.sum(e.astype(jnp.float32)) for e in se)
+                    + sum(jnp.sum(d.astype(jnp.float32)) for d in dv))
+
+        g = jax.grad(probe)(p_sub)
+        return sum(t.astype(jnp.float32).reshape(-1)[0]
+                   for t in jax.tree_util.tree_leaves(g))
+
     stages = {"transform": s_transform, "transform_all": s_transform_all,
               "transform_sub": s_transform_sub,
               "sub_urows": s_sub_urows, "sub_xonly": s_sub_xonly,
@@ -168,7 +204,8 @@ def main():
               "lookup_only": s_lookup_only,
               "emb": probe_of(m_emb),
               "lin": probe_of(m_lin), "emb_lin": probe_of(m_emb_lin),
-              "full": s_full}
+              "full": s_full,
+              "grad_full": s_grad_full, "grad_lookup": s_grad_lookup}
     only = os.environ.get("BISECT_ONLY")
     if only:
         keep = set(only.split(","))
@@ -180,7 +217,8 @@ def main():
             return jax.lax.fori_loop(
                 0, k, lambda i, c: c + _s(i, params, ts), acc0)
 
-        args = ((p_sub0, model.table_state) if name == "lookup_only"
+        args = ((p_sub0, model.table_state)
+                if name in ("lookup_only", "grad_lookup")
                 else (model.params, model.table_state))
         run(1, jnp.float32(0), *args).item()
 
