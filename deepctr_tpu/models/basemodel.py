@@ -714,16 +714,40 @@ class BaseModel(object):
                      for _, _, _, pack, ids, _ in group])       # [G, n]
                 iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32),
                                         (G, n))
-                sorted_rows, order = jax.lax.sort(
-                    (rows_mat, iota), dimension=-1, num_keys=1,
-                    is_stable=False)
+                impl = _os.environ.get("DEEPCTR_DEDUP_IMPL", "sorts")
+                # "packed" (A/B variant, measured SLOWER end-to-end):
+                # single-array sorts with the payload in the low bits of
+                # one int32 key.  Hypothesis was that halving each sort's
+                # data beats the two-array form; measured on TPU v5e
+                # 2026-08-19 it LOSES — transform_sub 1.821 vs 1.024ms,
+                # vocab-1M 508.9k vs 562.3k, criteo_real 1.022M vs
+                # 1.107M ex/s/chip: XLA's multi-operand TPU sort shares
+                # one comparator pass, while the packed form pays the
+                # key multiply + two unpack mod/divs on the full array.
+                # Bit budget when engaged: payloads are positions (< n),
+                # so the aux sorts need n*(n+1) < 2^31 and the main sort
+                # additionally (max_row+2)*n < 2^31.
+                # rows_mat values are <= n_rows (the OOB pad row is
+                # n_rows*pack, whose packed row is n_rows); +1 headroom
+                max_row = max(t[2] for t in group)
+                packable_aux = impl == "packed" and n * (n + 1) < 2 ** 31
+                packable_main = (packable_aux
+                                 and (max_row + 2) * n < 2 ** 31)
+                if packable_main:
+                    packed = jax.lax.sort(rows_mat * n + iota,
+                                          dimension=-1, is_stable=False)
+                    sorted_rows = packed // n
+                    order = packed % n
+                else:
+                    sorted_rows, order = jax.lax.sort(
+                        (rows_mat, iota), dimension=-1, num_keys=1,
+                        is_stable=False)
                 first = jnp.concatenate(
                     [jnp.ones((G, 1), jnp.int32),
                      (sorted_rows[:, 1:] != sorted_rows[:, :-1])
                      .astype(jnp.int32)], axis=1)
                 slot_sorted = jnp.cumsum(first, axis=1) - 1     # [G, n]
-                if _os.environ.get("DEEPCTR_DEDUP_IMPL",
-                                   "sorts") == "scatter":
+                if impl == "scatter":
                     # original form, kept for A/B: two [G, n] scatters.
                     # Measured 1.44ms vs 0.37ms for the sort form at
                     # [26, 5120] on TPU v5e (tools/subgather_micro.py
@@ -733,6 +757,21 @@ class BaseModel(object):
                         slot_sorted)
                     urows_mat = jnp.zeros((G, n), jnp.int32).at[
                         gi, slot_sorted].set(sorted_rows)
+                elif packable_aux:
+                    # packed forms of the two aux sorts (see bit budget
+                    # above).  inv: key order (distinct — no ties), low
+                    # bits slot; after sorting, element i is original
+                    # position i's slot.  compaction: key slot-of-first
+                    # (duplicates key past every slot at n), low bits the
+                    # SORTED position; the gather then pulls slot s's
+                    # unique row out of sorted_rows.
+                    inv = jax.lax.sort(order * n + slot_sorted,
+                                       dimension=-1, is_stable=False) % n
+                    compact_key = jnp.where(first == 1, slot_sorted, n)
+                    upos = jax.lax.sort(compact_key * n + iota,
+                                        dimension=-1, is_stable=False) % n
+                    urows_mat = jnp.take_along_axis(sorted_rows, upos,
+                                                    axis=1)
                 else:
                     # scatter-free dedup: one extra batched sort each.
                     # inv: sorting (order, slot) by order inverts the

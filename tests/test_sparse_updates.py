@@ -429,3 +429,27 @@ def test_combined_layout_without_pallas_xla_fallback(monkeypatch):
         return m.predict(x, 64)
 
     np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["sorts", "scatter"])
+def test_dedup_impl_variants_match_packed(monkeypatch, impl):
+    """The packed single-int32-key dedup (default) must produce the same
+    training trajectory as the two-array-sort and scatter forms — the
+    three variants differ only in how (inv, urows) are realized."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(dedup):
+        monkeypatch.setenv("DEEPCTR_DEDUP_IMPL", dedup)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3)
+        m.compile("adagrad", "binary_crossentropy",
+                  sparse_table_updates=True)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_array_equal(run("packed"), run(impl))

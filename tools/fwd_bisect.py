@@ -197,6 +197,24 @@ def main():
         return sum(t.astype(jnp.float32).reshape(-1)[0]
                    for t in jax.tree_util.tree_leaves(g))
 
+    def s_grad_emb_lin(i, p_sub, _ts):
+        # deep lookups + the fused-wide linear part, differentiated: if
+        # this costs ~grad_lookup + another full scatter-add, the wide
+        # path's second take of the same rows is duplicating the
+        # backward's cotangent accumulation (XLA CSEs the forward
+        # gathers but not the two scatter-adds)
+        Xi = Xs0.at[0, 0].set(((Xs0[0, 0].astype(jnp.int32) + i)
+                               % 64).astype(Xs0.dtype))
+
+        def probe(p):
+            return model.module.apply(
+                {"params": p}, Xi,
+                method=lambda mod, Xs: m_emb_lin(mod, Xs))
+
+        g = jax.grad(probe)(p_sub)
+        return sum(t.astype(jnp.float32).reshape(-1)[0]
+                   for t in jax.tree_util.tree_leaves(g))
+
     stages = {"transform": s_transform, "transform_all": s_transform_all,
               "transform_sub": s_transform_sub,
               "sub_urows": s_sub_urows, "sub_xonly": s_sub_xonly,
@@ -205,7 +223,8 @@ def main():
               "emb": probe_of(m_emb),
               "lin": probe_of(m_lin), "emb_lin": probe_of(m_emb_lin),
               "full": s_full,
-              "grad_full": s_grad_full, "grad_lookup": s_grad_lookup}
+              "grad_full": s_grad_full, "grad_lookup": s_grad_lookup,
+              "grad_emb_lin": s_grad_emb_lin}
     only = os.environ.get("BISECT_ONLY")
     if only:
         keep = set(only.split(","))
@@ -218,7 +237,7 @@ def main():
                 0, k, lambda i, c: c + _s(i, params, ts), acc0)
 
         args = ((p_sub0, model.table_state)
-                if name in ("lookup_only", "grad_lookup")
+                if name in ("lookup_only", "grad_lookup", "grad_emb_lin")
                 else (model.params, model.table_state))
         run(1, jnp.float32(0), *args).item()
 
