@@ -27,6 +27,14 @@ from .layers.sequence import masked_pooling
 from .layers.utils import concat_fun
 
 
+class _RowCache:
+    """Mutable per-apply memo holder (flax freezes raw dicts assigned in
+    setup; a plain object passes through untouched)."""
+
+    def __init__(self):
+        self.d = {}
+
+
 class EmbeddingDict(nn.Module):
     """All embedding tables for a feature-column list, deduped by
     ``embedding_name`` (shared tables).  ``linear=True`` builds dim-1 tables
@@ -90,6 +98,17 @@ class EmbeddingDict(nn.Module):
         self.table_dims = dims
         self.table_packs = packs
         self.table_vocabs = vocabs
+        # per-apply memo of full-width _rows results, keyed by
+        # (table name, column span): the fused-wide design makes the
+        # linear part re-look-up the same rows the deep part read — XLA
+        # CSEs the forward gathers but the backward then accumulates
+        # duplicate-id cotangents TWICE (two scatter-adds per fused
+        # table; the second one measured ~1.2ms/step at vocab 1M,
+        # tools/fwd_bisect.py grad_emb_lin 2026-08-19).  Sharing the
+        # traced value gives both consumers one take and one VJP.
+        # setup() runs per apply, so the memo never crosses traces.
+        # (_RowCache because flax freezes raw dicts assigned in setup.)
+        self._row_cache = _RowCache()
         # DECLARED physical rows (from the feature spec, NOT the live
         # param, which the active-rows step substitutes with a slice —
         # live-vs-declared mismatch is how _gather detects substitution)
@@ -178,8 +197,22 @@ class EmbeddingDict(nn.Module):
                 table = table.astype(ct)
         return jnp.take(table, row_ids, axis=0)
 
-    def _rows(self, name, ids):
-        """Gather full-width rows (incl. any wide column)."""
+    def _rows(self, name, ids, key=None):
+        """Gather full-width rows (incl. any wide column).  ``key`` is
+        the caller's (start, end) column span: lookups of the same table
+        from the same span within one apply share one traced gather (and
+        therefore ONE backward cotangent accumulation) via _row_cache."""
+        if key is not None:
+            ck = (name, key)
+            hit = self._row_cache.d.get(ck)
+            if hit is not None and hit.shape == ids.shape + (hit.shape[-1],):
+                return hit
+        rows = self._rows_uncached(name, ids)
+        if key is not None:
+            self._row_cache.d[ck] = rows
+        return rows
+
+    def _rows_uncached(self, name, ids):
         table = self.tables[name]
         pack = self.table_packs.get(name)
         if pack is None:
@@ -213,16 +246,16 @@ class EmbeddingDict(nn.Module):
                            axis=1)
         return rows.reshape(ids.shape + (width,))
 
-    def __call__(self, name, ids):
+    def __call__(self, name, ids, key=None):
         """Gather rows: ids int [..., ] -> [..., dim] (deep columns)."""
-        rows = self._rows(name, ids)
+        rows = self._rows(name, ids, key)
         if name in self.wide_names:
             rows = rows[..., :self.table_dims[name]]
         return rows
 
-    def wide(self, name, ids):
+    def wide(self, name, ids, key=None):
         """The fused wide column: ids int [...] -> [..., 1]."""
-        rows = self._rows(name, ids)
+        rows = self._rows(name, ids, key)
         return rows[..., self.table_dims[name]:]
 
 
@@ -255,8 +288,9 @@ def embedding_lookup(X, embedding_dict, feature_index, sparse_feature_columns,
     for fc in sparse_feature_columns:
         feature_name = fc.name
         if len(return_feat_list) == 0 or feature_name in return_feat_list:
-            ids = sparse_ids(X, feature_index[feature_name])
-            emb = embedding_dict(fc.embedding_name, ids)
+            span = tuple(feature_index[feature_name])
+            ids = sparse_ids(X, span)
+            emb = embedding_dict(fc.embedding_name, ids, key=span)
             group_embedding_dict[fc.group_name].append(emb)
     if to_list:
         return list(chain.from_iterable(group_embedding_dict.values()))
@@ -270,8 +304,9 @@ def varlen_embedding_lookup(X, embedding_dict, feature_index,
     """
     out = {}
     for fc in varlen_sparse_feature_columns:
-        ids = sparse_ids(X, feature_index[fc.name])
-        out[fc.name] = embedding_dict(fc.embedding_name, ids)
+        span = tuple(feature_index[fc.name])
+        ids = sparse_ids(X, span)
+        out[fc.name] = embedding_dict(fc.embedding_name, ids, key=span)
     return out
 
 

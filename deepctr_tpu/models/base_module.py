@@ -77,18 +77,24 @@ class LinearModel(nn.Module):
                 "weight", nn.initializers.normal(self.init_std),
                 (dense_dim, 1))
 
-    def _lookup(self, fc, ids):
+    def _lookup(self, fc, ids, key=None):
         if fc.embedding_name in self.fused_names:
-            return self.shared_embedding_dict.wide(fc.embedding_name, ids)
-        return self.embedding_dict(fc.embedding_name, ids)
+            # key= shares the full-width row gather (and its backward
+            # cotangent accumulation) with the deep side's lookup of the
+            # same span — see EmbeddingDict._rows
+            return self.shared_embedding_dict.wide(fc.embedding_name, ids,
+                                                   key=key)
+        return self.embedding_dict(fc.embedding_name, ids, key=key)
 
     def __call__(self, X, sparse_feat_refine_weight=None):
         index = dict(self.feature_index)
         sparse_embedding_list = [
-            self._lookup(fc, sparse_ids(X, index[fc.name]))
+            self._lookup(fc, sparse_ids(X, index[fc.name]),
+                         key=tuple(index[fc.name]))
             for fc in self.sparse_feature_columns]
         seq_embed_dict = {
-            fc.name: self._lookup(fc, sparse_ids(X, index[fc.name]))
+            fc.name: self._lookup(fc, sparse_ids(X, index[fc.name]),
+                                  key=tuple(index[fc.name]))
             for fc in self.varlen_sparse_feature_columns}
         sparse_embedding_list += get_varlen_pooling_list(
             seq_embed_dict, X, index, self.varlen_sparse_feature_columns)
