@@ -162,6 +162,22 @@ def _gru_gates(x, h, w_ih, w_hh, b_ih, b_hh):
     return i_r, i_z, i_n, h_r, h_z, h_n
 
 
+def _gru_input_gates(inputs, w_ih, b_ih):
+    """Hoist the input projection OUT of the scan: the x-side gates of
+    every timestep are one [B*T, I] x [I, 3H] matmul — large, batched,
+    MXU-shaped — instead of T tiny per-step matmuls that the scan body
+    re-dispatches (the cuDNN-style GRU split; XLA cannot hoist it itself
+    because x_t is a scan operand).  Returns [T, B, 3H] ready to scan."""
+    dtype = inputs.dtype
+    gi = inputs @ w_ih.T.astype(dtype) + b_ih.astype(dtype)   # [B, T, 3H]
+    return jnp.swapaxes(gi, 0, 1)
+
+
+def _gru_h_gates(h, w_hh, b_hh):
+    gh = h @ w_hh.T.astype(h.dtype) + b_hh.astype(h.dtype)
+    return jnp.split(gh, 3, axis=-1)
+
+
 class AGRUCell(nn.Module):
     """GRU cell whose update gate is *replaced* by the attention score.
     (reference parity: deepctr_torch/layers/sequence.py:192-235)
@@ -226,8 +242,9 @@ class DynamicGRU(nn.Module):
         dtype = inputs.dtype
 
         def step(h, xs):
-            x_t, a_t, t = xs
-            i_r, i_z, i_n, h_r, h_z, h_n = _gru_gates(x_t, h, *w)
+            gi_t, a_t, t = xs
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+            h_r, h_z, h_n = _gru_h_gates(h, w[1], w[3])
             reset = jax.nn.sigmoid(i_r + h_r)
             new = jnp.tanh(i_n + reset * h_n)
             a = a_t.reshape(-1, 1).astype(dtype)
@@ -243,7 +260,8 @@ class DynamicGRU(nn.Module):
 
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
-        xs = (jnp.swapaxes(inputs, 0, 1), jnp.swapaxes(att_scores, 0, 1), ts)
+        xs = (_gru_input_gates(inputs, w[0], w[2]),
+              jnp.swapaxes(att_scores, 0, 1), ts)
         h_final, outs = jax.lax.scan(step, h0, xs)
         return jnp.swapaxes(outs, 0, 1), h_final
 
@@ -267,8 +285,9 @@ class MaskedGRU(nn.Module):
         dtype = inputs.dtype
 
         def step(h, xs):
-            x_t, t = xs
-            i_r, i_z, i_n, h_r, h_z, h_n = _gru_gates(x_t, h, *w)
+            gi_t, t = xs
+            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+            h_r, h_z, h_n = _gru_h_gates(h, w[1], w[3])
             reset = jax.nn.sigmoid(i_r + h_r)
             update = jax.nn.sigmoid(i_z + h_z)
             new = jnp.tanh(i_n + reset * h_n)
@@ -280,6 +299,6 @@ class MaskedGRU(nn.Module):
 
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
-        xs = (jnp.swapaxes(inputs, 0, 1), ts)
+        xs = (_gru_input_gates(inputs, w[0], w[2]), ts)
         h_final, outs = jax.lax.scan(step, h0, xs)
         return jnp.swapaxes(outs, 0, 1), h_final
