@@ -162,6 +162,15 @@ def _gru_gates(x, h, w_ih, w_hh, b_ih, b_hh):
     return i_r, i_z, i_n, h_r, h_z, h_n
 
 
+def _scan_unroll():
+    """lax.scan unroll factor for the GRU recurrences (DEEPCTR_SCAN_UNROLL).
+    Unrolling packs several timesteps into one While-loop iteration,
+    amortizing the per-iteration loop overhead that dominates the scan at
+    long maxlen (the h-recurrence itself is a tiny [B,H]x[H,3H] matmul)."""
+    import os
+    return int(os.environ.get("DEEPCTR_SCAN_UNROLL", "1"))
+
+
 def _gru_input_gates(inputs, w_ih, b_ih):
     """Hoist the input projection OUT of the scan: the x-side gates of
     every timestep are one [B*T, I] x [I, 3H] matmul — large, batched,
@@ -262,7 +271,7 @@ class DynamicGRU(nn.Module):
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         xs = (_gru_input_gates(inputs, w[0], w[2]),
               jnp.swapaxes(att_scores, 0, 1), ts)
-        h_final, outs = jax.lax.scan(step, h0, xs)
+        h_final, outs = jax.lax.scan(step, h0, xs, unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final
 
 
@@ -300,5 +309,5 @@ class MaskedGRU(nn.Module):
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         xs = (_gru_input_gates(inputs, w[0], w[2]), ts)
-        h_final, outs = jax.lax.scan(step, h0, xs)
+        h_final, outs = jax.lax.scan(step, h0, xs, unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final
