@@ -84,14 +84,33 @@ def set_gather_mode(mode):
     _GATHER_MODE = mode
 
 
-def gather_mode(substituted=False, big=False):
+# "auto" flips ALL of a model's full-small-table lookups to the
+# explicit bf16 one-hot matmul (f32 accumulation) once the model's
+# LARGEST lookup carries at least this many ids: sequence models read
+# [B*maxlen] ids per history table, and XLA's native f32 lowering
+# loses 14-37% end-to-end there (TPU v5e A/B 2026-08-19: DIN/DIEN
+# maxlen 50-256, onehot wins every leg — DIN-256 94.1k->128.7k,
+# DIEN-100 105.3k->144.0k ex/s/chip; at 16384 ids "off" still wins
+# slightly, 2.125M vs 2.062M, and at the 4096-id standard shape by
+# ~6%.  Crossover is between 16k and 51k ids; 32768 is the
+# conservative pick).  The decision is model-level, not per-lookup:
+# mixing lowering styles within one model measured slower than either
+# pure style (DIN-50 same-session: off 665.7k / mixed 655.1k /
+# all-onehot 752.6k).  Override with DEEPCTR_ONEHOT_MIN_IDS.
+_ONEHOT_MIN_IDS = 32768
+
+
+def gather_mode(substituted=False, big=False, n_ids=None):
     """Resolve the small-table gather mode (env override > config).
 
     ``substituted`` says whether the lookup target is an active-rows
     substituted slice (vs a full small table); ``big`` whether the
-    DECLARED table is packed-storage scale — "auto" resolves to the
-    per-regime A/B winner (see the block comment above): "cast" only
-    for substituted slices of big tables.
+    DECLARED table is packed-storage scale; ``n_ids`` the id count of
+    the MODEL'S LARGEST lookup (B * max maxlen — model-level on
+    purpose, see the block comment above) — "auto" resolves to the
+    per-regime A/B winner: "cast" for substituted slices of big
+    tables, "onehot" for full small tables in models with a
+    sequence-scale lookup, "off" otherwise.
     """
     import os
     env = os.environ.get("DEEPCTR_GATHER_MODE")
@@ -107,7 +126,13 @@ def gather_mode(substituted=False, big=False):
     else:
         mode = _GATHER_MODE
     if mode == "auto":
-        return "cast" if (substituted and big) else "off"
+        if substituted and big:
+            return "cast"
+        min_ids = int(os.environ.get("DEEPCTR_ONEHOT_MIN_IDS",
+                                     _ONEHOT_MIN_IDS))
+        if not substituted and n_ids is not None and n_ids >= min_ids:
+            return "onehot"
+        return "off"
     return mode
 
 

@@ -97,6 +97,17 @@ class EmbeddingDict(nn.Module):
         self.tables = tables
         self.table_dims = dims
         self.table_packs = packs
+        # longest per-row lookup in this model: sequence models read
+        # [B, maxlen] ids per history table.  The gather-mode "auto"
+        # rule is MODEL-level (B * this, see config.gather_mode): once
+        # any lookup is sequence-scale, flipping ALL the model's
+        # small-table lookups to the bf16 one-hot matmul wins — mixing
+        # lowering styles measured slower than either pure style
+        # (DIN maxlen-50 TPU A/B 2026-08-19: off 665.7k / per-lookup
+        # auto 655.1k / all-onehot 752.6k ex/s/chip).
+        self._max_maxlen = max(
+            [f.maxlen for f in self.feature_columns
+             if isinstance(f, VarLenSparseFeat)] + [1])
         self.table_vocabs = vocabs
         # per-apply memo of full-width _rows results, keyed by
         # (table name, column span): the fused-wide design makes the
@@ -142,10 +153,13 @@ class EmbeddingDict(nn.Module):
                    duplicate-id grads still sum in f32.
           auto   (default) — per-regime measured winners: "cast" for
                    substituted slices of PACKED big tables (duplicates
-                   rare there), "off" for full small tables AND for
-                   substituted slices of small tables (cast lost on
-                   small tables, and their duplicate-id bf16
-                   accumulation is dense) — see config.py.
+                   rare there), "onehot" for every full small table of
+                   a model whose largest lookup is sequence-scale
+                   (B * max maxlen >= 32768 ids — model-level, see
+                   config._ONEHOT_MIN_IDS), "off" for other full small
+                   tables AND for substituted slices of small tables
+                   (cast lost on small tables, and their duplicate-id
+                   bf16 accumulation is dense) — see config.py.
 
         Forward values are identical across all three under bf16 compute
         (rows were cast at the first downstream matmul anyway).  Full
@@ -187,7 +201,8 @@ class EmbeddingDict(nn.Module):
                 and (substituted or small_full)):
             gmode = config.gather_mode(
                 substituted=substituted,
-                big=name in self.table_packs)
+                big=name in self.table_packs,
+                n_ids=row_ids.shape[0] * self._max_maxlen)
             if gmode == "onehot":
                 from .ops.onehot_lookup import onehot_lookup
                 flat = row_ids.reshape(-1)

@@ -164,11 +164,22 @@ def _gru_gates(x, h, w_ih, w_hh, b_ih, b_hh):
 
 def _scan_unroll():
     """lax.scan unroll factor for the GRU recurrences (DEEPCTR_SCAN_UNROLL).
-    Unrolling packs several timesteps into one While-loop iteration,
-    amortizing the per-iteration loop overhead that dominates the scan at
-    long maxlen (the h-recurrence itself is a tiny [B,H]x[H,3H] matmul)."""
+    Measured a wash at DIEN maxlen 256 (31.9-32.8k ex/s across 1/4/8):
+    the long-T cost is not While-iteration overhead."""
     import os
     return int(os.environ.get("DEEPCTR_SCAN_UNROLL", "1"))
+
+
+def _maybe_remat(step):
+    """DEEPCTR_SCAN_REMAT=1 wraps the scan body in jax.checkpoint: the
+    backward of a scan otherwise reads every step's saved gate
+    intermediates back from HBM; remat recomputes them from (h_{t-1},
+    gi_t) instead — recompute is VPU-cheap, the saved-residual traffic
+    is not (tools/gru_scan_micro.py)."""
+    import os
+    if os.environ.get("DEEPCTR_SCAN_REMAT", "0") == "1":
+        return jax.checkpoint(step, prevent_cse=False)
+    return step
 
 
 def _gru_input_gates(inputs, w_ih, b_ih):
@@ -271,7 +282,8 @@ class DynamicGRU(nn.Module):
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         xs = (_gru_input_gates(inputs, w[0], w[2]),
               jnp.swapaxes(att_scores, 0, 1), ts)
-        h_final, outs = jax.lax.scan(step, h0, xs, unroll=_scan_unroll())
+        h_final, outs = jax.lax.scan(_maybe_remat(step), h0, xs,
+                                     unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final
 
 
@@ -309,5 +321,6 @@ class MaskedGRU(nn.Module):
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         xs = (_gru_input_gates(inputs, w[0], w[2]), ts)
-        h_final, outs = jax.lax.scan(step, h0, xs, unroll=_scan_unroll())
+        h_final, outs = jax.lax.scan(_maybe_remat(step), h0, xs,
+                                     unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final

@@ -227,10 +227,24 @@ def test_gather_mode_auto_per_regime_resolution(monkeypatch):
 
     monkeypatch.delenv("DEEPCTR_GATHER_MODE", raising=False)
     monkeypatch.delenv("DEEPCTR_GATHER_CAST", raising=False)
+    monkeypatch.delenv("DEEPCTR_ONEHOT_MIN_IDS", raising=False)
     config.set_gather_mode("auto")
     assert config.gather_mode() == "off"
     assert config.gather_mode(substituted=True) == "off"
     assert config.gather_mode(substituted=True, big=True) == "cast"
     assert config.gather_mode(substituted=False, big=True) == "off"
+    # sequence-scale id counts flip full small tables to the explicit
+    # bf16 one-hot matmul (f32 dup accumulation) — DIN/DIEN A/B
+    # 2026-08-19: onehot wins 14-37% at B*maxlen >= ~51k ids, off wins
+    # at <= 16k; conservative crossover pinned at 32768
+    assert config.gather_mode(n_ids=4096) == "off"
+    assert config.gather_mode(n_ids=16384) == "off"
+    assert config.gather_mode(n_ids=32768) == "onehot"
+    assert config.gather_mode(substituted=True, n_ids=262144) == "off"
+    assert config.gather_mode(substituted=True, big=True,
+                              n_ids=262144) == "cast"
+    monkeypatch.setenv("DEEPCTR_ONEHOT_MIN_IDS", "100000")
+    assert config.gather_mode(n_ids=32768) == "off"
+    monkeypatch.delenv("DEEPCTR_ONEHOT_MIN_IDS")
     monkeypatch.setenv("DEEPCTR_GATHER_MODE", "onehot")
     assert config.gather_mode(substituted=True, big=True) == "onehot"
