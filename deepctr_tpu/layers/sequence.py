@@ -171,13 +171,17 @@ def _scan_unroll():
 
 
 def _maybe_remat(step):
-    """DEEPCTR_SCAN_REMAT=1 wraps the scan body in jax.checkpoint: the
-    backward of a scan otherwise reads every step's saved gate
-    intermediates back from HBM; remat recomputes them from (h_{t-1},
-    gi_t) instead — recompute is VPU-cheap, the saved-residual traffic
-    is not (tools/gru_scan_micro.py)."""
+    """Rematerialize the scan body (default ON; DEEPCTR_SCAN_REMAT=0
+    disables): the backward of a scan otherwise reads every step's
+    saved gate intermediates back from HBM; remat recomputes them from
+    (h_{t-1}, gi_t) instead — recompute is VPU-cheap, the
+    saved-residual traffic is not (micro: MaskedGRU bwd 1.84->1.49ms
+    at T=256, tools/gru_scan_micro.py; end-to-end TPU v5e 2026-08-19:
+    DIEN +11-15% at every maxlen 50-512, e.g. 512: 20.5k->23.5k
+    ex/s/chip).  Numerics are unchanged — recompute is deterministic
+    and runs the same bf16 ops the forward ran."""
     import os
-    if os.environ.get("DEEPCTR_SCAN_REMAT", "0") == "1":
+    if os.environ.get("DEEPCTR_SCAN_REMAT", "1") == "1":
         return jax.checkpoint(step, prevent_cse=False)
     return step
 
