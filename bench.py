@@ -49,6 +49,11 @@ CRITEO_KAGGLE_VOCABS = [
 # (torch CPU, bench_reference() below, 2026-08-16).
 FALLBACK_REFERENCE_EPS = 21296.0
 
+# v5e (lite0) speed-of-light constants for the pct_speed_of_light field:
+# ~819 GB/s HBM, ~197 TFLOP/s bf16 MXU.
+_HBM_BYTES_PER_S = 819e9
+_MXU_FLOPS_PER_S = 197e12
+
 
 def _columns():
     from deepctr_tpu.features import SparseFeat, DenseFeat
@@ -82,7 +87,24 @@ def _device_batch(key, input_dim, feature_index):
 
 
 def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
-                want_cost=False, **kwargs):
+                detail=False, **kwargs):
+    """Time the training step.  Returns eps (examples/sec/chip) — or,
+    with detail=True, a dict {eps (median), eps_spread, repeats,
+    pct_speed_of_light}.
+
+    Drift discipline (round-3 finding: the MXU-bound standard shape
+    drifted +-16% across sessions on IDENTICAL code): detail mode runs
+    ``BENCH_REPEATS`` (default 5) interleaved timed repeats of the same
+    compiled loop and reports the MEDIAN and (max-min)/median spread, so
+    a headline number carries its own stability evidence.
+
+    pct_speed_of_light divides the per-step roofline floor — XLA
+    cost-analysis bytes / HBM bandwidth vs flops / MXU rate, whichever
+    binds — by the measured step time.  Cost-analysis bytes count
+    LOGICAL accesses (fusion can overlap or elide them), so the floor is
+    an over-estimate and the pct is conservative-high on gather-heavy
+    configs; the measured per-component floors in BASELINE.md are the
+    authoritative decomposition."""
     from deepctr_tpu import config as dc_config
     import jax
     import jax.numpy as jnp
@@ -98,7 +120,8 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
     model = model_cls(cols, cols, **kwargs)
     sparse = {"0": False, "1": True}.get(
         os.environ.get("BENCH_SPARSE", ""), "auto")
-    model.compile("adagrad", "binary_crossentropy", metrics=[],
+    model.compile(os.environ.get("BENCH_OPT", "adagrad"),
+                  "binary_crossentropy", metrics=[],
                   sparse_table_updates=sparse)
     model._ensure_compiled()
     step = model._train_step.__wrapped__  # un-jitted step fn
@@ -139,12 +162,40 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
     log("compiling n=1 ...")
     run(model.params, model.opt_state, model.table_state,
         model.batch_stats, 1).item()  # warm
-    log("timing n=1 ...")
-    t1 = timed(1)
-    log("timing n=%d ..." % (STEPS + 1))
-    tn = timed(STEPS + 1)
-    dt = (tn - t1) / STEPS
-    return BATCH / dt
+    if not detail:
+        log("timing n=1 ...")
+        t1 = timed(1)
+        log("timing n=%d ..." % (STEPS + 1))
+        tn = timed(STEPS + 1)
+        dt = (tn - t1) / STEPS
+        return BATCH / dt
+    reps = int(os.environ.get("BENCH_REPEATS", "5"))
+    samples = []
+    for r in range(reps):
+        log("repeat %d/%d ..." % (r + 1, reps))
+        t1 = timed(1)
+        tn = timed(STEPS + 1)
+        samples.append(BATCH / ((tn - t1) / STEPS))
+    samples.sort()
+    median = samples[len(samples) // 2]
+    spread = (samples[-1] - samples[0]) / median
+    out = {"eps": round(median, 1), "eps_spread": round(spread, 4),
+           "repeats": [round(s, 1) for s in samples]}
+    try:
+        lowered = run.lower(
+            model.params, model.opt_state, model.table_state,
+            model.batch_stats, STEPS + 1)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        floor = max(cost.get("bytes accessed", 0.0) / _HBM_BYTES_PER_S,
+                    cost.get("flops", 0.0) / _MXU_FLOPS_PER_S) / (STEPS + 1)
+        step_t = BATCH / median
+        out["pct_speed_of_light"] = round(100.0 * floor / step_t, 1)
+        out["roofline_floor_ms"] = round(floor * 1e3, 3)
+    except Exception as e:   # cost analysis is best-effort via the tunnel
+        out["pct_speed_of_light"] = "error: %s" % e
+    return out
 
 
 def bench_reference():
@@ -204,7 +255,8 @@ def main():
             "vs_baseline": round(eps / FALLBACK_REFERENCE_EPS, 2),
         }))
         return
-    eps = bench_model(DeepFM, dnn_hidden_units=HIDDEN)
+    res = bench_model(DeepFM, dnn_hidden_units=HIDDEN, detail=True)
+    eps = res["eps"]
     ref_eps = FALLBACK_REFERENCE_EPS
     if os.environ.get("BENCH_RUN_REFERENCE") == "1":
         try:
@@ -213,9 +265,19 @@ def main():
             pass
     record = {
         "metric": "deepfm_criteo_train_throughput",
-        "value": round(eps, 1),
+        "value": eps,
         "unit": "examples/sec/chip",
         "vs_baseline": round(eps / ref_eps, 2),
+        # drift evidence: median of BENCH_REPEATS interleaved repeats
+        # (the MXU-bound shape drifted +-16% ACROSS sessions on frozen
+        # code — BASELINE.md round-3 session-2 note)
+        "eps_spread": res["eps_spread"],
+        "repeats": res["repeats"],
+        # roofline-derived; conservative-high on gather-heavy configs
+        # (see bench_model docstring); measured component floors live in
+        # BASELINE.md
+        "pct_speed_of_light": res.get("pct_speed_of_light"),
+        "roofline_floor_ms": res.get("roofline_floor_ms"),
     }
     # secondary configs (VERDICT r1 #7: all headline configs in the bench
     # record): production big-vocab DeepFM (active-rows sparse step) and
@@ -241,6 +303,27 @@ def main():
                             dnn_hidden_units=HIDDEN), 1)
         except Exception as e:
             extras["deepfm_criteo_real_cardinality_eps"] = "error: %s" % e
+        # adam legs (verdict r3 #3): the reference's default-suggested
+        # optimizer on the big-vocab active-rows path — combined (w|m|v)
+        # triple storage + per-row t (basemodel._init_table_state)
+        saved_opt = os.environ.get("BENCH_OPT")
+        os.environ["BENCH_OPT"] = "adam"
+        try:
+            extras["deepfm_vocab1m_adam_eps"] = round(bench_model(
+                DeepFM, vocab=1_000_000, steps=30,
+                dnn_hidden_units=HIDDEN), 1)
+        except Exception as e:
+            extras["deepfm_vocab1m_adam_eps"] = "error: %s" % e
+        try:
+            extras["deepfm_criteo_real_adam_eps"] = round(bench_model(
+                DeepFM, vocabs=CRITEO_KAGGLE_VOCABS, steps=30,
+                dnn_hidden_units=HIDDEN), 1)
+        except Exception as e:
+            extras["deepfm_criteo_real_adam_eps"] = "error: %s" % e
+        if saved_opt is None:
+            del os.environ["BENCH_OPT"]
+        else:
+            os.environ["BENCH_OPT"] = saved_opt
         try:
             # DIEN training at realistic history length (masked AUGRU
             # scans + neg-sampling aux loss — the reference's worst

@@ -137,6 +137,54 @@ def gather_mode(substituted=False, big=False, n_ids=None):
 
 
 # --------------------------------------------------------------------------
+# Fused Pallas (AU)GRU scan dispatch (ops/pallas_gru.py) for
+# MaskedGRU / DynamicGRU: the whole recurrence in one pallas_call.
+#   "auto"      — measured default (see gru_kernel(): currently the
+#                 lax.scan — the kernel lost/washed the end-to-end A/B)
+#   True/False  — force on/off
+#   "interpret" — kernel via the Pallas interpreter (CPU golden tests)
+# DEEPCTR_GRU_KERNEL env overrides (0|1|auto|interpret) for A/Bs.
+# --------------------------------------------------------------------------
+_GRU_KERNEL = "auto"
+
+
+def set_gru_kernel(mode):
+    """Control the fused Pallas GRU scan: True/False/'auto'/'interpret'."""
+    global _GRU_KERNEL
+    assert mode in (True, False, "auto", "interpret")
+    _GRU_KERNEL = mode
+
+
+def gru_kernel():
+    """Resolve the GRU-kernel switch -> False | 'compiled' | 'interpret'.
+
+    'auto' resolves to False (the masked lax.scan): the end-to-end A/B
+    on a real v5e (2026-08-20, tools/gru_kernel_ab.py, same-session
+    pairs inside the full DIEN train step) measured the fused kernel
+    0.74x at maxlen 50, 0.79x at 100, 1.01x at 256, 1.00x at 512 — a
+    LOSS at short history and a wash at long.  The kernel itself is
+    numerically proven (tests/ops/test_gru.py golden tests; real-chip
+    numeric check f32-fwd bit-exact vs the oracle) and stays as an A/B
+    variant (DEEPCTR_GRU_KERNEL=1); isolated kernel-vs-scan numbers:
+    tools/gru_kernel_micro.py, BASELINE.md round-4.
+    """
+    import os
+    env = os.environ.get("DEEPCTR_GRU_KERNEL")
+    mode = _GRU_KERNEL
+    if env is not None:
+        mode = {"0": False, "1": True, "auto": "auto",
+                "interpret": "interpret"}.get(env)
+        if mode is None:
+            raise ValueError(
+                "DEEPCTR_GRU_KERNEL=%r — must be 0|1|auto|interpret" % env)
+    if mode == "auto":
+        mode = False
+    if mode is True:
+        return "compiled"
+    return mode or False
+
+
+# --------------------------------------------------------------------------
 # Sharded-embedding lookup exchange (mesh runs only).
 #   "gspmd" — default: plain gather, XLA's sharding propagation inserts
 #             the exchange it derives from the table/batch shardings.

@@ -202,6 +202,35 @@ def _gru_h_gates(h, w_hh, b_hh):
     return jnp.split(gh, 3, axis=-1)
 
 
+def _gru_recurrence(gi, w_hh, b_hh, lengths, att, mode):
+    """Fused-Pallas dispatch for the masked GRU recurrences.
+
+    Returns ``(outputs [B,T,H], final_state [B,H])`` from the fused
+    kernel (ops/pallas_gru.py — the whole recurrence in one
+    pallas_call) when config.gru_kernel() is on AND the shape gate
+    passes, else ``None`` (caller falls back to the masked lax.scan).
+    Enforces the gru_scan_supported gate here so unsupported shapes
+    (B not a multiple of 64, exotic dtypes) silently take the scan.
+    """
+    kmode = config.gru_kernel()
+    if not kmode:
+        return None
+    from ..ops.pallas_gru import gru_scan, gru_scan_supported
+    T, B, H3 = gi.shape
+    H = H3 // 3
+    ok, _, _ = gru_scan_supported(B, T, H, gi.dtype)
+    if not ok:
+        return None
+    dtype = gi.dtype
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
+    mask = (pos < lengths.astype(jnp.int32).reshape(-1, 1)).astype(dtype)
+    att_bt = None if att is None else att.reshape(B, T).astype(dtype)
+    outs, h_final = gru_scan(gi, w_hh.T.astype(dtype), b_hh.astype(dtype),
+                             mask, att=att_bt, mode=mode,
+                             interpret=(kmode == "interpret"))
+    return jnp.swapaxes(outs, 0, 1), h_final
+
+
 class AGRUCell(nn.Module):
     """GRU cell whose update gate is *replaced* by the attention score.
     (reference parity: deepctr_torch/layers/sequence.py:192-235)
@@ -265,6 +294,12 @@ class DynamicGRU(nn.Module):
             raise NotImplementedError(self.gru_type)
         dtype = inputs.dtype
 
+        gi = _gru_input_gates(inputs, w[0], w[2])
+        fused = _gru_recurrence(gi, w[1], w[3], lengths, att_scores,
+                                "augru" if is_augru else "agru")
+        if fused is not None:
+            return fused
+
         def step(h, xs):
             gi_t, a_t, t = xs
             i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
@@ -284,8 +319,7 @@ class DynamicGRU(nn.Module):
 
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
-        xs = (_gru_input_gates(inputs, w[0], w[2]),
-              jnp.swapaxes(att_scores, 0, 1), ts)
+        xs = (gi, jnp.swapaxes(att_scores.reshape(B, T), 0, 1), ts)
         h_final, outs = jax.lax.scan(_maybe_remat(step), h0, xs,
                                      unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final
@@ -309,6 +343,11 @@ class MaskedGRU(nn.Module):
         w = _gru_params(self, self.input_size, H, self.init_std)
         dtype = inputs.dtype
 
+        gi = _gru_input_gates(inputs, w[0], w[2])
+        fused = _gru_recurrence(gi, w[1], w[3], lengths, None, "gru")
+        if fused is not None:
+            return fused
+
         def step(h, xs):
             gi_t, t = xs
             i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
@@ -324,7 +363,6 @@ class MaskedGRU(nn.Module):
 
         h0 = jnp.zeros((B, H), dtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
-        xs = (_gru_input_gates(inputs, w[0], w[2]), ts)
-        h_final, outs = jax.lax.scan(_maybe_remat(step), h0, xs,
+        h_final, outs = jax.lax.scan(_maybe_remat(step), h0, (gi, ts),
                                      unroll=_scan_unroll())
         return jnp.swapaxes(outs, 0, 1), h_final

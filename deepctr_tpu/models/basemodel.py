@@ -483,6 +483,22 @@ class BaseModel(object):
         if self._optimizer_name == "adam":
             # lazy adam: per-row moments + per-row step count for bias
             # correction (rows advance their own timeline when touched)
+            if (self._use_combined_state(w)
+                    and not (self.mesh is not None
+                             and self.shard_embeddings)):
+                # INTERLEAVED [3R, 128] (w | m | v) triples, the adam
+                # analog of adagrad's pair layout: the Pallas scatter
+                # writes 1 triple-DMA per touched row (L=3) instead of
+                # three XLA row scatters.  t stays a separate [R] int32
+                # vector (tiny, XLA scatter).  Row-sharded tables keep
+                # the separate-leaf path (parallel/update.py's sharded
+                # kernel is adagrad-only).
+                return {"combined3": jnp.stack(
+                    [w.astype(jnp.float32),
+                     jnp.zeros(w.shape, jnp.float32),
+                     jnp.zeros(w.shape, jnp.float32)],
+                    axis=1).reshape(3 * w.shape[0], w.shape[1]),
+                    "t": jnp.zeros((w.shape[0],), jnp.int32)}
             return {"m": jnp.zeros(w.shape, jnp.float32),
                     "v": jnp.zeros(w.shape, jnp.float32),
                     "t": jnp.zeros((w.shape[0],), jnp.int32)}
@@ -845,6 +861,8 @@ class BaseModel(object):
                     else:
                         st = table_state.get(path)
                         combined = isinstance(st, dict) and "combined" in st
+                        combined3 = (isinstance(st, dict)
+                                     and "combined3" in st)
                         # clip maps padding rows onto the last row
                         # (harmless: nothing reads their slice values);
                         # post-clip indices are still sorted but no longer
@@ -862,6 +880,12 @@ class BaseModel(object):
                             # interleaved (w, acc) buffer at EVEN physical
                             # rows; the params leaf lags during training
                             small = st["combined"].at[urows * 2].get(
+                                mode="clip",
+                                indices_are_sorted=True)
+                        elif combined3:
+                            # adam (w | m | v) triple storage: weights at
+                            # physical rows 3r
+                            small = st["combined3"].at[urows * 3].get(
                                 mode="clip",
                                 indices_are_sorted=True)
                         else:
@@ -1028,6 +1052,49 @@ class BaseModel(object):
                             "combined": fused_row_update_combined(
                                 st["combined"], g, rows, n_valid, l2_vec,
                                 lr, _ADAGRAD_EPS)}
+                    continue
+                if (isinstance(st, dict) and "combined3" in st
+                        and combined_update_supported(st["combined3"], g,
+                                                      rows, L=3)):
+                    # adam triple storage (w | m | v): bit-identical math
+                    # to the separate-leaf lazy adam below (per-row t,
+                    # bias correction at the row's own timeline), but the
+                    # writeback is ONE Pallas triple-DMA per touched row
+                    # instead of three XLA row scatters
+                    comb = st["combined3"]
+                    m_rows = comb.at[rows * 3 + 1].get(
+                        mode="clip", indices_are_sorted=True)
+                    v_rows = comb.at[rows * 3 + 2].get(
+                        mode="clip", indices_are_sorted=True)
+                    w_rows = w_rows_cached.astype(jnp.float32)
+                    gp = g.astype(jnp.float32) \
+                        + 2.0 * l2_vec[None, :] * w_rows
+                    m_new = _ADAM_B1 * m_rows + (1 - _ADAM_B1) * gp
+                    v_new = _ADAM_B2 * v_rows + (1 - _ADAM_B2) * gp * gp
+                    t_rows = st["t"].at[rows].get(
+                        mode="clip", indices_are_sorted=True) + 1
+                    tf = t_rows.astype(jnp.float32)[:, None]
+                    m_hat = m_new / (1 - _ADAM_B1 ** tf)
+                    v_hat = v_new / (1 - _ADAM_B2 ** tf)
+                    wn = w_rows - lr * m_hat / (jnp.sqrt(v_hat)
+                                                + _ADAM_EPS)
+                    new_t = st["t"].at[rows].set(
+                        t_rows, mode="drop", indices_are_sorted=True,
+                        unique_indices=True)
+                    if dc_config.use_pallas():
+                        trip = jnp.stack([wn, m_new, v_new],
+                                         axis=1).reshape(
+                            3 * wn.shape[0], wn.shape[1])
+                        newcomb = scatter_rows(comb, trip, rows * 3,
+                                               n_valid, L=3)
+                    else:
+                        # XLA drop-scatter fallback (CPU/forced layout)
+                        newcomb = comb.reshape(
+                            -1, 3, comb.shape[1]).at[rows].set(
+                            jnp.stack([wn, m_new, v_new], axis=1),
+                            mode="drop", indices_are_sorted=True,
+                            unique_indices=True).reshape(comb.shape)
+                    new_state[path] = {"combined3": newcomb, "t": new_t}
                     continue
                 if (dc_config.use_pallas()
                         and not sharded_tables
@@ -1866,7 +1933,8 @@ class BaseModel(object):
         leaf lagging until the next _sync_params."""
         if "__arena__" in getattr(self, "table_state", {}) or any(
                 isinstance(self.table_state.get(spec[0]), dict)
-                and "combined" in self.table_state[spec[0]]
+                and ("combined" in self.table_state[spec[0]]
+                     or "combined3" in self.table_state[spec[0]])
                 for spec in getattr(self, "_sparse_specs", [])):
             self._params_stale = True
 
@@ -1885,6 +1953,9 @@ class BaseModel(object):
             if isinstance(st, dict) and "combined" in st:
                 self.params = _set_path(self.params, spec[0],
                                         st["combined"][::2])
+            elif isinstance(st, dict) and "combined3" in st:
+                self.params = _set_path(self.params, spec[0],
+                                        st["combined3"][::3])
         self._params_stale = False
 
     def get_weights(self):

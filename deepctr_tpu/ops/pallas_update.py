@@ -559,9 +559,11 @@ def arena_scatter_rows(arena, vals, starts, n_valids, L=1):
     return out
 
 
-def combined_update_supported(combined, g, rows):
+def combined_update_supported(combined, g, rows, L=2):
+    """Shape gate for interleaved row-group storage: L=2 (w | acc)
+    adagrad pairs, L=3 (w | m | v) adam triples."""
     return (combined.ndim == 2 and combined.shape[1] == 128
-            and combined.shape[0] % 2 == 0
+            and combined.shape[0] % L == 0
             and combined.dtype == jnp.float32 and g.shape[1] == 128
             and rows.ndim == 1 and rows.shape[0] == g.shape[0])
 

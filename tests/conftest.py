@@ -52,7 +52,8 @@ def _isolate_global_config():
     env_keys = ("DEEPCTR_UPDATE_MODE", "DEEPCTR_FORCE_COMBINED",
                 "DEEPCTR_GATHER_MODE", "DEEPCTR_SCATTER_UNROLL",
                 "DEEPCTR_DEDUP_IMPL", "DEEPCTR_SPARSE_MIN_ROWS",
-                "DEEPCTR_SUBST_BARRIER", "DEEPCTR_UPDATE_WINDOW")
+                "DEEPCTR_SUBST_BARRIER", "DEEPCTR_UPDATE_WINDOW",
+                "DEEPCTR_GRU_KERNEL")
     saved_env = {k: os.environ.get(k) for k in env_keys}
     yield
     for k, v in saved.items():

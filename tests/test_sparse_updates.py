@@ -453,3 +453,63 @@ def test_dedup_impl_variants_match_packed(monkeypatch, impl):
         return m.predict(x, 64)
 
     np.testing.assert_array_equal(run("packed"), run(impl))
+
+
+def test_combined3_adam_layout_matches_separate_leaves(monkeypatch):
+    """Adam's interleaved (w | m | v) triple storage (combined3 — the
+    big-vocab layout whose writeback is one Pallas triple-DMA per row on
+    TPU, XLA drop-scatter here) must reproduce the separate-m/v/t lazy
+    adam trajectory exactly: same per-row t bias correction, same lazy
+    moment decay (reg off)."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+        else:
+            monkeypatch.delenv("DEEPCTR_FORCE_COMBINED", raising=False)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=True)
+        st = m.table_state.get("embedding_dict/big")
+        if force:
+            assert isinstance(st, dict) and "combined3" in st
+        else:
+            assert isinstance(st, dict) and "m" in st
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_combined3_adam_untouched_rows_frozen(monkeypatch):
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    # ids only in [0, 512): packed rows past 512//8 stay untouched
+    x = {"big": rng.integers(0, 512, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+               l2_reg_embedding=0, l2_reg_linear=0)
+    m.compile("adam", "binary_crossentropy", sparse_table_updates=True)
+    st = m.table_state["embedding_dict/big"]
+    assert "combined3" in st
+    (pack,) = [s[3] for s in m._sparse_specs
+               if s[0] == "embedding_dict/big"]
+    boundary = (512 - 1) // pack + 1   # first packed row no id touches
+    before = np.asarray(m.params["embedding_dict"]["big"]).copy()
+    m.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+    m._sync_params()
+    after = np.asarray(m.params["embedding_dict"]["big"])
+    np.testing.assert_array_equal(before[boundary:], after[boundary:])
+    assert np.abs(after[:boundary] - before[:boundary]).sum() > 0
