@@ -66,8 +66,13 @@ def bench(fn, gi, *rest):
     def run(n, gi, *rest):
         def body(i, acc):
             out = fn(jnp.roll(gi, i, axis=1), *rest)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            # consume EVERY output fully: a single-element probe lets
+            # XLA DCE the scan's unconsumed steps (the custom call
+            # can't be sliced, so a lazy probe biases FOR the scan)
+            s = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                s = s + jnp.sum(leaf.astype(jnp.float32))
+            return acc + s
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def timed(n):
