@@ -190,3 +190,111 @@ def test_deepfm_trajectory_equivalence_sparse_updates():
         TorchDeepFM, DeepFM, "adagrad", dict(dnn_hidden_units=(16, 8)),
         sparse_updates=True)
     np.testing.assert_allclose(jl, tl, rtol=2e-3, atol=2e-4)
+
+
+def _pack_full(full, pack):
+    """[V, w] logical table -> packed [R, 128] rows (pack rows/128 lanes,
+    waste lanes zero) — the storage layout inputs.EmbeddingDict uses for
+    tables passing packed_eligible."""
+    V_, w = full.shape
+    vpad = (-V_) % pack
+    fp = np.concatenate([full, np.zeros((vpad, w), full.dtype)])
+    R = fp.shape[0] // pack
+    fp = fp.reshape(R, pack, w)
+    out = np.zeros((R, 128), full.dtype)
+    for k in range(pack):
+        out[:, k * w:(k + 1) * w] = fp[:, k]
+    return out
+
+
+@pytest.mark.parametrize("force_combined", [False, True])
+def test_adam_active_rows_trajectory_vs_reference(monkeypatch,
+                                                 force_combined):
+    """ADAM on the PACKED active-rows path (verdict r3 #3's parity leg):
+    tables packed to [R, 128], per-row (m, v, t) lazy adam — with every
+    packed row touched every batch (V=50 at pack 25 -> 2 rows; B=128
+    random ids always hit both) lazy adam == dense adam == torch adam
+    exactly, so a 60-step trajectory through both public fits pins the
+    packed transform + adam row math against the reference.
+    force_combined=True additionally runs the interleaved (w|m|v)
+    combined3 storage via its XLA fallback (the layout the TPU Pallas
+    scatter updates)."""
+    from deepctr_torch.models import DeepFM as TorchDeepFM
+    from deepctr_tpu.models import DeepFM
+    from deepctr_tpu import inputs as dc_inputs
+    import torch
+
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 16)
+    if force_combined:
+        monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+    else:
+        monkeypatch.delenv("DEEPCTR_FORCE_COMBINED", raising=False)
+
+    x, y = _data()
+    kwargs = dict(dnn_hidden_units=(16, 8), l2_reg_embedding=0.0,
+                  l2_reg_linear=0.0)
+    from deepctr_torch.inputs import (SparseFeat as TS, DenseFeat as TD)
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    torch.manual_seed(0)
+    tm = TorchDeepFM([TS("s%d" % i, V, E) for i in range(F)]
+                     + [TD("d0", 1)],
+                     [TS("s%d" % i, V, E) for i in range(F)]
+                     + [TD("d0", 1)], **kwargs)
+    jm = DeepFM([SparseFeat("s%d" % i, V, E) for i in range(F)]
+                + [DenseFeat("d0", 1)],
+                [SparseFeat("s%d" % i, V, E) for i in range(F)]
+                + [DenseFeat("d0", 1)], **kwargs)
+
+    # copy weights: fused wide column, then pack to [R, 128]
+    params = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(),
+                                    jm.params)
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    pack = 128 // (E + 1)
+    for i in range(F):
+        name = "s%d" % i
+        full = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+        packed = _pack_full(full, pack)
+        assert params["embedding_dict"][name].shape == packed.shape, \
+            (params["embedding_dict"][name].shape, packed.shape)
+        params["embedding_dict"][name] = packed
+    params["linear_model"]["weight"] = sd["linear_model.weight"]
+    for li in range(2):
+        params["dnn"]["dense_%d" % li]["kernel"] = \
+            sd["dnn.linears.%d.weight" % li].T
+        params["dnn"]["dense_%d" % li]["bias"] = \
+            sd["dnn.linears.%d.bias" % li]
+    params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
+    params["out"]["bias"] = sd["out.bias"]
+    jm.set_weights({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                    "batch_stats": jm.batch_stats})
+
+    tm.compile("adam", "binary_crossentropy", metrics=[])
+    jm.compile("adam", "binary_crossentropy", sparse_table_updates=True,
+               metrics=[])
+    assert jm._sparse_specs, "active-rows path did not engage"
+    if force_combined:
+        assert any(isinstance(jm.table_state.get(s[0]), dict)
+                   and "combined3" in jm.table_state[s[0]]
+                   for s in jm._sparse_specs), "combined3 did not engage"
+    th = tm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    jh = jm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    np.testing.assert_allclose(jh.history["loss"], th.history["loss"],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
+    # packed table weights back to logical form vs torch finals
+    jm._sync_params()
+    p = jax.tree_util.tree_map(np.asarray, jm.get_weights()["params"])
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    for i in range(F):
+        name = "s%d" % i
+        full = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+        np.testing.assert_allclose(p["embedding_dict"][name],
+                                   _pack_full(full, pack),
+                                   rtol=2e-3, atol=2e-5, err_msg=name)
