@@ -128,7 +128,14 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
     key = jax.random.PRNGKey(0)
     X, y, sw = _device_batch(key, model.input_dim, model.feature_index)
 
-    @jax.jit
+    import functools
+
+    # donate the state and chain it call-to-call: without donation the
+    # fori_loop carry needs a COPY of every table/state buffer (one-time
+    # per program, but at criteo_real+adam the ~6G of copies pushed HBM
+    # past 15.75G and the compile OOM'd 2026-08-20 — the engine's own
+    # runners donate, so donating here matches production)
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def run(params, opt_state, table_state, batch_stats, n):
         def body(i, carry):
             p, o, ts, bs = carry
@@ -141,17 +148,24 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
             xb = jnp.roll(X, i, axis=0)
             p, o, ts, bs, _, total, _ = step(p, o, ts, bs, rng, xb, y, sw)
             return (p, o, ts, bs)
-        p, o, ts, bs = jax.lax.fori_loop(
+        carry = jax.lax.fori_loop(
             0, n, body, (params, opt_state, table_state, batch_stats))
-        probe = jax.tree_util.tree_leaves(p)[0]
-        return jnp.sum(probe.reshape(-1)[:4].astype(jnp.float32))
+        probe = jax.tree_util.tree_leaves(carry[0])[0]
+        return jnp.sum(probe.reshape(-1)[:4].astype(jnp.float32)), carry
+
+    state = [model.params, model.opt_state, model.table_state,
+             model.batch_stats]
+
+    def call(n):
+        probe, carry = run(*state, n)
+        state[:] = carry
+        return probe
 
     def timed(n):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            run(model.params, model.opt_state, model.table_state,
-                model.batch_stats, n).item()
+            call(n).item()
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -160,8 +174,7 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
             print(msg, file=sys.stderr, flush=True)
 
     log("compiling n=1 ...")
-    run(model.params, model.opt_state, model.table_state,
-        model.batch_stats, 1).item()  # warm
+    call(1).item()  # warm
     if not detail:
         log("timing n=1 ...")
         t1 = timed(1)
@@ -182,17 +195,22 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
     out = {"eps": round(median, 1), "eps_spread": round(spread, 4),
            "repeats": [round(s, 1) for s in samples]}
     try:
-        lowered = run.lower(
-            model.params, model.opt_state, model.table_state,
-            model.batch_stats, STEPS + 1)
+        lowered = run.lower(*state, jnp.int32(STEPS + 1))
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        floor = max(cost.get("bytes accessed", 0.0) / _HBM_BYTES_PER_S,
+        ba = cost.get("bytes accessed", 0.0)
+        if not ba:   # key name varies by backend/version
+            ba = max([v for k, v in cost.items()
+                      if k.startswith("bytes accessed")] or [0.0])
+        floor = max(ba / _HBM_BYTES_PER_S,
                     cost.get("flops", 0.0) / _MXU_FLOPS_PER_S) / (STEPS + 1)
         step_t = BATCH / median
         out["pct_speed_of_light"] = round(100.0 * floor / step_t, 1)
         out["roofline_floor_ms"] = round(floor * 1e3, 3)
+        out["roofline_binds"] = ("hbm" if ba / _HBM_BYTES_PER_S
+                                 > cost.get("flops", 0.0) / _MXU_FLOPS_PER_S
+                                 else "mxu")
     except Exception as e:   # cost analysis is best-effort via the tunnel
         out["pct_speed_of_light"] = "error: %s" % e
     return out
