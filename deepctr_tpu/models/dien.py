@@ -55,6 +55,10 @@ class InterestExtractor(nn.Module):
         pos = jax.lax.broadcasted_iota(jnp.int32, (B, T), 1)
         mask = (pos < jnp.maximum(keys_length, 0).reshape(-1, 1)).astype(
             jnp.float32)
+        # two separate aux-net passes (click / noclick) — a merged
+        # [2B, T, 2H] single pass was A/B'd on v5e 2026-08-20 and LOST
+        # ~4% end-to-end (DIEN-256 48.3k vs 50.3k ex/s/chip): the batch
+        # concat's extra HBM round trip outweighs the taller matmuls
         click_p = self.auxiliary_net(
             jnp.concatenate([states, click_seq], axis=-1), training)[..., 0]
         noclick_p = self.auxiliary_net(

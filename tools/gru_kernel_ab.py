@@ -29,7 +29,7 @@ def numeric_check():
     from deepctr_tpu.ops.pallas_gru import gru_scan
     from tests.ops.test_gru import oracle
 
-    for mode in ("gru", "augru"):
+    for mode in ("gru", "agru", "augru"):
         for dtype, tol in ((jnp.float32, 2e-4), (jnp.bfloat16, 5e-2)):
             rng = np.random.default_rng(0)
             T, B, H = 50, 1024, 64
