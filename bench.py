@@ -100,11 +100,13 @@ def bench_model(model_cls, vocab=None, vocabs=None, steps=None,
 
     pct_speed_of_light divides the per-step roofline floor — XLA
     cost-analysis bytes / HBM bandwidth vs flops / MXU rate, whichever
-    binds — by the measured step time.  Cost-analysis bytes count
-    LOGICAL accesses (fusion can overlap or elide them), so the floor is
-    an over-estimate and the pct is conservative-high on gather-heavy
-    configs; the measured per-component floors in BASELINE.md are the
-    authoritative decomposition."""
+    binds — by the measured step time.  The numbers come from XLA's
+    POST-OPTIMIZATION cost model, which under-costs gather/scatter- and
+    sort-bound work (it models them as bandwidth when their real bound
+    is issue rate/lowering), so on embedding workloads the floor is
+    OPTIMISTIC and the pct reads low; treat it as a lower bound and use
+    the measured per-component floors in BASELINE.md ("Explicit step
+    floors") as the authoritative decomposition."""
     from deepctr_tpu import config as dc_config
     import jax
     import jax.numpy as jnp
@@ -296,6 +298,7 @@ def main():
         # BASELINE.md
         "pct_speed_of_light": res.get("pct_speed_of_light"),
         "roofline_floor_ms": res.get("roofline_floor_ms"),
+        "roofline_binds": res.get("roofline_binds"),
     }
     # secondary configs (VERDICT r1 #7: all headline configs in the bench
     # record): production big-vocab DeepFM (active-rows sparse step) and

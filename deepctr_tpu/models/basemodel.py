@@ -481,16 +481,33 @@ class BaseModel(object):
                     axis=1).reshape(2 * w.shape[0], w.shape[1])}
             return jnp.zeros(w.shape, jnp.float32)
         if self._optimizer_name == "adam":
-            # lazy adam: per-row moments + per-row step count for bias
-            # correction (rows advance their own timeline when touched)
+            # lazy adam: per-row moments + a step count for bias
+            # correction.  _adam_t_mode selects the t form:
+            #   table (default) — ONE scalar per table, incremented
+            #     every step: torch.optim.Adam's own semantics
+            #     (state['step'] is per PARAMETER, so dense torch
+            #     corrects every row by the global step — and for a
+            #     long-untouched row torch's decayed-m + ~1 correction
+            #     matches table-t's fresh-m + ~1 correction more closely
+            #     than rowwise's t=1 full-magnitude step).
+            #   rowwise — [R] int32, rows advance their own timeline
+            #     when touched (torch.optim.SparseAdam-style).
+            #     Costs ~1.4ms/step at vocab-1M shapes: the [R] t
+            #     gather+scatter is an XLA element-scatter (micro
+            #     2026-08-20; pooling all 26 tables into one scatter
+            #     measured WORSE, 2.29ms — the element-scatter lowering
+            #     itself is the cost).  Same-session A/B: vocab-1M adam
+            #     438.2k (rowwise) vs 551.7k (table) ex/s/chip.
+            t0 = (jnp.zeros((), jnp.int32)
+                  if self._adam_t_mode() == "table"
+                  else jnp.zeros((w.shape[0],), jnp.int32))
             if (self._use_combined_state(w)
                     and not (self.mesh is not None
                              and self.shard_embeddings)):
                 # INTERLEAVED [3R, 128] (w | m | v) triples, the adam
                 # analog of adagrad's pair layout: the Pallas scatter
                 # writes 1 triple-DMA per touched row (L=3) instead of
-                # three XLA row scatters.  t stays a separate [R] int32
-                # vector (tiny, XLA scatter).  Row-sharded tables keep
+                # three XLA row scatters.  Row-sharded tables keep
                 # the separate-leaf path (parallel/update.py's sharded
                 # kernel is adagrad-only).
                 return {"combined3": jnp.stack(
@@ -498,11 +515,19 @@ class BaseModel(object):
                      jnp.zeros(w.shape, jnp.float32),
                      jnp.zeros(w.shape, jnp.float32)],
                     axis=1).reshape(3 * w.shape[0], w.shape[1]),
-                    "t": jnp.zeros((w.shape[0],), jnp.int32)}
+                    "t": t0}
             return {"m": jnp.zeros(w.shape, jnp.float32),
                     "v": jnp.zeros(w.shape, jnp.float32),
-                    "t": jnp.zeros((w.shape[0],), jnp.int32)}
+                    "t": t0}
         return ()
+
+    def _adam_t_mode(self):
+        """DEEPCTR_ADAM_T=table|rowwise — see _init_table_state."""
+        mode = _os.environ.get("DEEPCTR_ADAM_T", "table")
+        if mode not in ("rowwise", "table"):
+            raise ValueError("DEEPCTR_ADAM_T=%r — must be rowwise|table"
+                             % mode)
+        return mode
 
     def _update_mode(self):
         """Active-rows update variant (A/B'd on the real TPU at vocab 1M,
@@ -1071,16 +1096,20 @@ class BaseModel(object):
                         + 2.0 * l2_vec[None, :] * w_rows
                     m_new = _ADAM_B1 * m_rows + (1 - _ADAM_B1) * gp
                     v_new = _ADAM_B2 * v_rows + (1 - _ADAM_B2) * gp * gp
-                    t_rows = st["t"].at[rows].get(
-                        mode="clip", indices_are_sorted=True) + 1
-                    tf = t_rows.astype(jnp.float32)[:, None]
+                    if st["t"].ndim == 0:      # per-table scalar t
+                        new_t = st["t"] + 1
+                        tf = new_t.astype(jnp.float32)
+                    else:                      # per-row t (rowwise)
+                        t_rows = st["t"].at[rows].get(
+                            mode="clip", indices_are_sorted=True) + 1
+                        tf = t_rows.astype(jnp.float32)[:, None]
+                        new_t = st["t"].at[rows].set(
+                            t_rows, mode="drop", indices_are_sorted=True,
+                            unique_indices=True)
                     m_hat = m_new / (1 - _ADAM_B1 ** tf)
                     v_hat = v_new / (1 - _ADAM_B2 ** tf)
                     wn = w_rows - lr * m_hat / (jnp.sqrt(v_hat)
                                                 + _ADAM_EPS)
-                    new_t = st["t"].at[rows].set(
-                        t_rows, mode="drop", indices_are_sorted=True,
-                        unique_indices=True)
                     if dc_config.use_pallas():
                         trip = jnp.stack([wn, m_new, v_new],
                                          axis=1).reshape(
@@ -1128,14 +1157,19 @@ class BaseModel(object):
                          + (1 - _ADAM_B1) * g)
                     v = (_ADAM_B2 * _get_rows(st["v"], rows)
                          + (1 - _ADAM_B2) * jnp.square(g))
-                    t = _get_rows(st["t"], rows) + 1
-                    tf = t.astype(jnp.float32)[:, None]
+                    if st["t"].ndim == 0:      # per-table scalar t
+                        new_t = st["t"] + 1
+                        tf = new_t.astype(jnp.float32)
+                    else:                      # per-row t (rowwise)
+                        t = _get_rows(st["t"], rows) + 1
+                        tf = t.astype(jnp.float32)[:, None]
+                        new_t = _set_rows(st["t"], rows, t)
                     m_hat = m / (1 - _ADAM_B1 ** tf)
                     v_hat = v / (1 - _ADAM_B2 ** tf)
                     step = lr * m_hat / (jnp.sqrt(v_hat) + _ADAM_EPS)
                     new_state[path] = {"m": _set_rows(st["m"], rows, m),
                                        "v": _set_rows(st["v"], rows, v),
-                                       "t": _set_rows(st["t"], rows, t)}
+                                       "t": new_t}
                 else:
                     step = lr * g
                 params = _set_path(params, path,

@@ -53,7 +53,7 @@ def _isolate_global_config():
                 "DEEPCTR_GATHER_MODE", "DEEPCTR_SCATTER_UNROLL",
                 "DEEPCTR_DEDUP_IMPL", "DEEPCTR_SPARSE_MIN_ROWS",
                 "DEEPCTR_SUBST_BARRIER", "DEEPCTR_UPDATE_WINDOW",
-                "DEEPCTR_GRU_KERNEL")
+                "DEEPCTR_GRU_KERNEL", "DEEPCTR_ADAM_T")
     saved_env = {k: os.environ.get(k) for k in env_keys}
     yield
     for k, v in saved.items():

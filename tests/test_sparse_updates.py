@@ -513,3 +513,56 @@ def test_combined3_adam_untouched_rows_frozen(monkeypatch):
     after = np.asarray(m.params["embedding_dict"]["big"])
     np.testing.assert_array_equal(before[boundary:], after[boundary:])
     assert np.abs(after[:boundary] - before[:boundary]).sum() > 0
+
+
+@pytest.mark.parametrize("tmode", ["table", "rowwise"])
+def test_adam_t_modes_exact_when_all_rows_touched(monkeypatch, tmode):
+    """Both t forms (table: one per-table step counter — torch.optim.
+    Adam's own state['step'] semantics, the default; rowwise: per-row
+    timelines, SparseAdam-style) must equal dense adam while every row
+    is touched every step."""
+    monkeypatch.setenv("DEEPCTR_ADAM_T", tmode)
+    N, V = 256, 8
+    rng = np.random.default_rng(0)
+    x = {"c0": np.arange(N) % V, "d0": rng.random(N)}
+    y = ((np.arange(N) % V) % 2).astype(np.float64)
+    cols = [SparseFeat("c0", V, 4), DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=3e-5)
+
+
+@pytest.mark.parametrize("tmode", ["table", "rowwise"])
+def test_combined3_adam_t_modes_match_separate(monkeypatch, tmode):
+    """combined3 == separate-leaves exactly, under BOTH t forms."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_ADAM_T", tmode)
+    rng = np.random.default_rng(0)
+    N, V = 256, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def run(force):
+        if force:
+            monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+        else:
+            monkeypatch.delenv("DEEPCTR_FORCE_COMBINED", raising=False)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=True)
+        st = m.table_state.get("embedding_dict/big")
+        assert st["t"].ndim == (0 if tmode == "table" else 1)
+        m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=2e-5)
