@@ -155,18 +155,33 @@ def set_gru_kernel(mode):
     _GRU_KERNEL = mode
 
 
-def gru_kernel():
+# inference-only auto dispatch gate (T <= this uses the kernel's
+# no-carry forward).  DISABLED (0): a single T=56 micro read the kernel
+# forward at 0.043 vs scan 0.158ms, but the same-session follow-up grid
+# (T = 48, 63, 96, 128, 192 — tools/gru_kernel_micro.py 2026-08-20)
+# shows the kernel forward LOSING at every T (e.g. 48: 0.108 vs 0.070;
+# 63: 0.210 vs 0.139; 96: 0.412 vs 0.190) — the T=56 reading was a
+# one-off artifact.  The dispatch plumbing stays (training-aware gate,
+# forced modes) so a future win only needs this constant.
+_GRU_INFER_MAX_T = 0
+
+
+def gru_kernel(training=True, T=None):
     """Resolve the GRU-kernel switch -> False | 'compiled' | 'interpret'.
 
-    'auto' resolves to False (the masked lax.scan): the end-to-end A/B
-    on a real v5e (2026-08-20, tools/gru_kernel_ab.py, same-session
-    pairs inside the full DIEN train step) measured the fused kernel
-    0.74x at maxlen 50, 0.79x at 100, 1.01x at 256, 1.00x at 512 — a
-    LOSS at short history and a wash at long.  The kernel itself is
+    TRAINING 'auto' resolves to False (the masked lax.scan): the
+    end-to-end A/B on a real v5e (2026-08-20, tools/gru_kernel_ab.py,
+    same-session pairs inside the full DIEN train step) measured the
+    fused kernel 0.74x at maxlen 50, 0.79x at 100, 1.01x at 256, 1.00x
+    at 512 — a LOSS at short history and a wash at long.  The kernel is
     numerically proven (tests/ops/test_gru.py golden tests; real-chip
-    numeric check f32-fwd bit-exact vs the oracle) and stays as an A/B
-    variant (DEEPCTR_GRU_KERNEL=1); isolated kernel-vs-scan numbers:
-    tools/gru_kernel_micro.py, BASELINE.md round-4.
+    numeric check f32-fwd bit-exact vs the oracle) and remains a forced
+    A/B variant (DEEPCTR_GRU_KERNEL=1).
+
+    INFERENCE 'auto' would dispatch the kernel on TPU when ``T`` is at
+    or below _GRU_INFER_MAX_T — currently 0 (disabled): the follow-up
+    micro grid showed the scan winning the forward at every measured T
+    (see the constant's comment).
     """
     import os
     env = os.environ.get("DEEPCTR_GRU_KERNEL")
@@ -178,7 +193,14 @@ def gru_kernel():
             raise ValueError(
                 "DEEPCTR_GRU_KERNEL=%r — must be 0|1|auto|interpret" % env)
     if mode == "auto":
-        mode = False
+        if training or T is None or T > _GRU_INFER_MAX_T:
+            mode = False
+        else:
+            import jax
+            try:
+                mode = jax.default_backend() not in ("cpu", "gpu")
+            except Exception:
+                mode = False
     if mode is True:
         return "compiled"
     return mode or False

@@ -202,21 +202,24 @@ def _gru_h_gates(h, w_hh, b_hh):
     return jnp.split(gh, 3, axis=-1)
 
 
-def _gru_recurrence(gi, w_hh, b_hh, lengths, att, mode):
+def _gru_recurrence(gi, w_hh, b_hh, lengths, att, mode, training=True):
     """Fused-Pallas dispatch for the masked GRU recurrences.
 
     Returns ``(outputs [B,T,H], final_state [B,H])`` from the fused
     kernel (ops/pallas_gru.py — the whole recurrence in one
-    pallas_call) when config.gru_kernel() is on AND the shape gate
-    passes, else ``None`` (caller falls back to the masked lax.scan).
-    Enforces the gru_scan_supported gate here so unsupported shapes
-    (B not a multiple of 64, exotic dtypes) silently take the scan.
+    pallas_call) when config.gru_kernel(training, T) is on AND the
+    shape gate passes, else ``None`` (caller falls back to the masked
+    lax.scan).  Under 'auto' the kernel only dispatches at INFERENCE
+    with short history (the measured crossover — see config); the
+    training A/B was a recorded negative.  Enforces the
+    gru_scan_supported gate here so unsupported shapes (B not a
+    multiple of 64, exotic dtypes) silently take the scan.
     """
-    kmode = config.gru_kernel()
+    T, B, H3 = gi.shape
+    kmode = config.gru_kernel(training, T)
     if not kmode:
         return None
     from ..ops.pallas_gru import gru_scan, gru_scan_supported
-    T, B, H3 = gi.shape
     H = H3 // 3
     ok, _, _ = gru_scan_supported(B, T, H, gi.dtype)
     if not ok:
@@ -285,7 +288,7 @@ class DynamicGRU(nn.Module):
     init_std: float = 1e-3
 
     @nn.compact
-    def __call__(self, inputs, att_scores, lengths):
+    def __call__(self, inputs, att_scores, lengths, training=True):
         B, T, _ = inputs.shape
         H = self.hidden_size
         w = _gru_params(self, self.input_size, H, self.init_std)
@@ -296,7 +299,8 @@ class DynamicGRU(nn.Module):
 
         gi = _gru_input_gates(inputs, w[0], w[2])
         fused = _gru_recurrence(gi, w[1], w[3], lengths, att_scores,
-                                "augru" if is_augru else "agru")
+                                "augru" if is_augru else "agru",
+                                training=training)
         if fused is not None:
             return fused
 
@@ -337,14 +341,15 @@ class MaskedGRU(nn.Module):
     init_std: float = 1e-3
 
     @nn.compact
-    def __call__(self, inputs, lengths):
+    def __call__(self, inputs, lengths, training=True):
         B, T, _ = inputs.shape
         H = self.hidden_size
         w = _gru_params(self, self.input_size, H, self.init_std)
         dtype = inputs.dtype
 
         gi = _gru_input_gates(inputs, w[0], w[2])
-        fused = _gru_recurrence(gi, w[1], w[3], lengths, None, "gru")
+        fused = _gru_recurrence(gi, w[1], w[3], lengths, None, "gru",
+                                training=training)
         if fused is not None:
             return fused
 

@@ -41,7 +41,8 @@ class InterestExtractor(nn.Module):
                                      name="auxiliary_net")
 
     def __call__(self, keys, keys_length, neg_keys=None, training=False):
-        interests, _ = self.gru(keys, keys_length)        # [B, T, H]
+        interests, _ = self.gru(keys, keys_length,
+                                training=training)       # [B, T, H]
         aux_loss = jnp.zeros((), jnp.float32)
         if self.use_neg and neg_keys is not None:
             aux_loss = self._auxiliary_loss(
@@ -104,7 +105,8 @@ class InterestEvolving(nn.Module):
         # query [B, H], keys [B, T, H], keys_length [B] -> [B, H]
         q = query[:, None, :]
         if self.gru_type == "GRU":
-            interests, _ = self.evolution(keys, keys_length)
+            interests, _ = self.evolution(keys, keys_length,
+                                          training=training)
             out = self.attention(q, interests, keys_length,
                                  training=training)[:, 0]     # [B, H]
         elif self.gru_type == "AIGRU":
@@ -112,11 +114,13 @@ class InterestEvolving(nn.Module):
                                         training=training)    # [B, 1, T]
             interests = keys * jnp.transpose(att_scores, (0, 2, 1)).astype(
                 keys.dtype)
-            _, out = self.evolution(interests, keys_length)
+            _, out = self.evolution(interests, keys_length,
+                                    training=training)
         else:  # AGRU / AUGRU
             att_scores = self.attention(q, keys, keys_length,
                                         training=training)[:, 0]  # [B, T]
-            _, out = self.evolution(keys, att_scores, keys_length)
+            _, out = self.evolution(keys, att_scores, keys_length,
+                                    training=training)
         # rows with empty history emit exactly zero (dien.py:348-381)
         valid = (keys_length > 0).reshape(-1, 1)
         return jnp.where(valid, out, jnp.zeros_like(out))

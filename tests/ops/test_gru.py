@@ -183,3 +183,42 @@ def test_masked_gru_dispatch_grads_match_scan():
     for a, b in zip(flat_k, flat_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_gru_kernel_policy():
+    """Dispatch policy: training 'auto' is always the scan (recorded
+    negative, BASELINE round-4); inference 'auto' is T-gated and
+    backend-gated; forced modes apply regardless."""
+    from deepctr_tpu import config
+    try:
+        config.set_gru_kernel("auto")
+        assert config.gru_kernel(training=True, T=16) is False
+        assert config.gru_kernel(training=False, T=None) is False
+        # T above the crossover: scan even at inference
+        big = config._GRU_INFER_MAX_T + 1
+        assert config.gru_kernel(training=False, T=big) is False
+        # CPU backend (tests): inference auto stays off even at short T
+        assert config.gru_kernel(training=False, T=16) is False
+        config.set_gru_kernel(True)
+        assert config.gru_kernel(training=True, T=1024) == "compiled"
+        config.set_gru_kernel("interpret")
+        assert config.gru_kernel(training=True) == "interpret"
+    finally:
+        config.set_gru_kernel("auto")
+
+
+def test_masked_gru_inference_arg_matches_training_path():
+    """training=False with the kernel forced off must equal the default
+    path bit-for-bit (the flag only routes dispatch, never math)."""
+    from deepctr_tpu import config
+    from deepctr_tpu.layers.sequence import MaskedGRU
+    rng = np.random.default_rng(6)
+    B, T, H = 64, 12, 8
+    x = jnp.asarray(rng.normal(size=(B, T, H)), jnp.float32)
+    lengths = jnp.asarray(rng.integers(0, T + 1, B), jnp.float32)
+    m = MaskedGRU(input_size=H, hidden_size=H, init_std=0.1)
+    params = m.init(jax.random.PRNGKey(0), x, lengths)
+    o1, h1 = m.apply(params, x, lengths)
+    o2, h2 = m.apply(params, x, lengths, training=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
