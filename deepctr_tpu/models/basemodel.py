@@ -501,9 +501,14 @@ class BaseModel(object):
             t0 = (jnp.zeros((), jnp.int32)
                   if self._adam_t_mode() == "table"
                   else jnp.zeros((w.shape[0],), jnp.int32))
+            sharded = (self.mesh is not None and self.shard_embeddings)
+            # row-sharded triples require the scalar-t form (the shard-
+            # local update broadcasts one step count; parallel/update.py
+            # sharded_combined3_update); rowwise-t sharded falls back to
+            # separate leaves
             if (self._use_combined_state(w)
-                    and not (self.mesh is not None
-                             and self.shard_embeddings)):
+                    and (not sharded
+                         or self._adam_t_mode() == "table")):
                 # INTERLEAVED [3R, 128] (w | m | v) triples, the adam
                 # analog of adagrad's pair layout: the Pallas scatter
                 # writes 1 triple-DMA per touched row (L=3) instead of
@@ -1016,6 +1021,21 @@ class BaseModel(object):
                     new_state[path] = {"combined": sharded_combined_update(
                         mesh, st["combined"], g, w_rows_cached, rows * 2,
                         n_valid, l2_vec, lr, _ADAGRAD_EPS)}
+                    continue
+                if (sharded_tables and isinstance(st, dict)
+                        and "combined3" in st):
+                    # row-sharded adam triples: shard-local (w | m | v)
+                    # update with the per-table scalar step count
+                    # broadcast (parallel/update.sharded_combined3_update)
+                    from ..parallel.update import sharded_combined3_update
+                    new_t = st["t"] + 1
+                    new_state[path] = {
+                        "combined3": sharded_combined3_update(
+                            mesh, st["combined3"], g, w_rows_cached,
+                            rows * 3, n_valid, l2_vec, lr, _ADAM_B1,
+                            _ADAM_B2, _ADAM_EPS,
+                            new_t.astype(jnp.float32)),
+                        "t": new_t}
                     continue
                 if (isinstance(st, dict) and "combined" in st
                         and combined_update_supported(st["combined"], g,

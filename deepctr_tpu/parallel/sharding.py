@@ -88,12 +88,14 @@ def shard_variables(mesh, params, batch_stats, opt_state=None,
                             jax.tree_util.tree_leaves(shardings)):
             if getattr(sh, "spec", None) == P("model", None):
                 sharded_shapes[leaf.shape] = sh
-                # interleaved (w | acc) combined storage mirrors the
-                # table at [2R, 128]; row-shard it identically (pairs
-                # stay co-located because R % model-axis == 0 is a
-                # precondition of combined state under sharding —
-                # basemodel._use_combined_state)
+                # interleaved combined storage mirrors the table:
+                # (w | acc) pairs at [2R, 128] (adagrad), (w | m | v)
+                # triples at [3R, 128] (adam); row-shard identically
+                # (row groups stay co-located because R % model-axis
+                # == 0 is a precondition of combined state under
+                # sharding — basemodel._use_combined_state)
                 sharded_shapes[(2 * leaf.shape[0],) + leaf.shape[1:]] = sh
+                sharded_shapes[(3 * leaf.shape[0],) + leaf.shape[1:]] = sh
 
         def place(x):
             sh = sharded_shapes.get(getattr(x, "shape", None), rep)

@@ -104,3 +104,70 @@ def sharded_combined_update(mesh, combined, g, w_rows, starts, n_valid,
 
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
     return f(combined, g, w_rows, starts, nv)
+
+
+def sharded_combined3_update(mesh, comb3, g, w_rows, starts, n_valid,
+                             l2_vec, lr, b1, b2, eps, tf, axis="model"):
+    """Adam update of interleaved (w | m | v) TRIPLE storage sharded
+    P(axis, None) over ``mesh`` — the adam analog of
+    :func:`sharded_combined_update` (same shard-local scheme: slot-range
+    searchsorted, roll-to-prefix, local gathers + math + Pallas scatter).
+
+    comb3: [3R, 128] f32, rows sharded over ``axis`` (triples stay
+    co-located: caller guarantees R %% mesh.shape[axis] == 0);
+    starts: [n] int32 TRIPLE-row starts (= packed row * 3), sorted;
+    tf: scalar f32 — the table's step count AFTER this update
+    (DEEPCTR_ADAM_T=table, torch.optim.Adam state['step'] semantics;
+    the rowwise-t form is not supported sharded and falls back to
+    separate leaves in the engine).
+    """
+    from .. import config as dc_config
+    from ..ops.pallas_update import scatter_rows, scatter_rows_supported
+
+    M = mesh.shape[axis]
+    local_rows = comb3.shape[0] // M
+    use_kernel = dc_config.use_pallas()
+    lr, b1, b2, eps = float(lr), float(b1), float(b2), float(eps)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis, None),
+        **{_CHECK_KW: False})
+    def f(local_comb, g, w_rows, starts, nv, tf):
+        my = jax.lax.axis_index(axis)
+        base = my * local_rows
+        nv = nv[0]
+        lo = jnp.minimum(jnp.searchsorted(starts, base), nv)
+        hi = jnp.minimum(jnp.searchsorted(starts, base + local_rows), nv)
+        n_local = hi - lo
+        starts_l = jnp.roll(starts, -lo) - base
+        g_l = jnp.roll(g, -lo, axis=0).astype(jnp.float32)
+        w_l = jnp.roll(w_rows, -lo, axis=0).astype(jnp.float32)
+        cap = local_comb.shape[0] - 1
+        m_rows = local_comb.at[jnp.clip(starts_l + 1, 0, cap)].get(
+            mode="clip", indices_are_sorted=True)
+        v_rows = local_comb.at[jnp.clip(starts_l + 2, 0, cap)].get(
+            mode="clip", indices_are_sorted=True)
+        gp = g_l + 2.0 * l2_vec[None, :].astype(jnp.float32) * w_l
+        m_new = b1 * m_rows + (1 - b1) * gp
+        v_new = b2 * v_rows + (1 - b2) * gp * gp
+        tff = tf[0]
+        m_hat = m_new / (1 - b1 ** tff)
+        v_hat = v_new / (1 - b2 ** tff)
+        wn = w_l - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        newtrip = jnp.stack([wn, m_new, v_new], axis=1).reshape(-1, 128)
+        if use_kernel and scatter_rows_supported(local_comb, newtrip,
+                                                 starts_l, 3):
+            return scatter_rows(local_comb, newtrip, starts_l, n_local,
+                                L=3)
+        slot = jnp.arange(starts_l.shape[0], dtype=jnp.int32)
+        ok = slot < n_local
+        safe = jnp.where(ok, starts_l, local_comb.shape[0])
+        out = local_comb.at[safe].set(wn, mode="drop")
+        out = out.at[safe + 1].set(m_new, mode="drop")
+        return out.at[safe + 2].set(v_new, mode="drop")
+
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    tfa = jnp.asarray(tf, jnp.float32).reshape(1)
+    return f(comb3, g, w_rows, starts, nv, tfa)

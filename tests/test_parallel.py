@@ -248,3 +248,60 @@ def test_sharded_combined_state_engages(monkeypatch):
     m.compile("adagrad", "binary_crossentropy", sparse_table_updates=True)
     st = m.table_state.get("embedding_dict/big")
     assert isinstance(st, dict) and "combined" in st
+
+
+def test_sharded_combined3_adam_matches_unsharded(monkeypatch):
+    """Row-sharded adam TRIPLES (w | m | v) + per-table scalar t
+    (parallel/update.sharded_combined3_update): shard_map update must
+    train exactly like the unsharded dense adam path.  All rows of the
+    big table are touched every step here (V small vs batch), so lazy
+    adam == dense adam and the equality is exact."""
+    from deepctr_tpu import inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    rng = np.random.default_rng(0)
+    N = 128
+    V = 14 * 40   # width 9 (E8 + fused wide) packs 14 -> 40 rows, % 2 == 0
+    x = {"big": rng.integers(0, V, N), "small": rng.integers(0, 16, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 8), SparseFeat("small", 16, 8)]
+
+    def run(mesh, shard, force):
+        if force:
+            monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+        else:
+            monkeypatch.delenv("DEEPCTR_FORCE_COMBINED", raising=False)
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                   shard_embeddings=shard, l2_reg_embedding=0,
+                   l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=True)
+        if shard:
+            st = m.table_state.get("embedding_dict/big")
+            assert isinstance(st, dict) and "combined3" in st
+            assert st["t"].ndim == 0
+        m.fit(x, y, batch_size=32, epochs=2, verbose=0, shuffle=False)
+        w = np.asarray(m.get_weights()["params"]["embedding_dict"]["big"])
+        return m.predict(x, 32), w
+
+    p_ref, w_ref = run(None, False, False)          # dense unsharded
+    mesh = make_mesh((4, 2))
+    p, w = run(mesh, True, True)                    # sharded + triples
+    assert np.allclose(w, w_ref, atol=1e-6), np.abs(w - w_ref).max()
+    assert np.allclose(p, p_ref, atol=1e-5), np.abs(p - p_ref).max()
+
+
+def test_sharded_combined3_rowwise_t_falls_back(monkeypatch):
+    """rowwise-t adam under sharding keeps separate m/v/t leaves (the
+    shard-local triple update needs the scalar-t form)."""
+    from deepctr_tpu import inputs as dc_inputs
+    from deepctr_tpu.features import SparseFeat
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+    monkeypatch.setenv("DEEPCTR_ADAM_T", "rowwise")
+    cols = [SparseFeat("big", 14 * 40, 8)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+               mesh=make_mesh((4, 2)), shard_embeddings=True)
+    m.compile("adam", "binary_crossentropy", sparse_table_updates=True)
+    st = m.table_state.get("embedding_dict/big")
+    assert isinstance(st, dict) and "m" in st and "combined3" not in st
