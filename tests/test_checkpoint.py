@@ -111,3 +111,42 @@ def test_checkpoint_rejects_mismatched_table_state_layout(tmp_path):
     assert m2._sparse_specs
     with pytest.raises(ValueError, match="layout does not match"):
         m2.load_checkpoint(ckpt)
+
+
+def test_checkpoint_exact_resume_adam_combined3(tmp_path, monkeypatch):
+    """Exact resume of the adam TRIPLE storage (w | m | v interleaved
+    [3R, 128] + per-table scalar step count, DEEPCTR_ADAM_T=table
+    default) through Orbax: the moments AND the step counter must
+    restore, or the post-resume bias correction diverges."""
+    from deepctr_tpu import inputs as dc_inputs
+    monkeypatch.setattr(dc_inputs, "PACKED_VOCAB_THRESHOLD", 256)
+    monkeypatch.setenv("DEEPCTR_FORCE_COMBINED", "1")
+    rng = np.random.default_rng(0)
+    N, V = 192, 2048
+    x = {"big": rng.integers(0, V, N), "d0": rng.random(N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("big", V, 16), DenseFeat("d0", 1)]
+
+    def build():
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("adam", "binary_crossentropy",
+                  sparse_table_updates=True)
+        return m
+
+    m = build()
+    st = m.table_state.get("embedding_dict/big")
+    assert isinstance(st, dict) and "combined3" in st and st["t"].ndim == 0
+    m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False)
+    ckpt = os.path.join(str(tmp_path), "ckpt_combined3")
+    m.save_checkpoint(ckpt)
+    m.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False,
+          initial_epoch=2)
+    p_cont = m.predict(x, 64)
+
+    m2 = build()
+    m2.load_checkpoint(ckpt)
+    assert int(m2.table_state["embedding_dict/big"]["t"]) > 0
+    m2.fit(x, y, batch_size=64, epochs=2, verbose=0, shuffle=False,
+           initial_epoch=2)
+    np.testing.assert_allclose(p_cont, m2.predict(x, 64), atol=1e-6)
