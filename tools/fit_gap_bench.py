@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 
-N_SPARSE, N_DENSE, VOCAB, EMB = 26, 13, 10000, 16
+N_SPARSE, N_DENSE, EMB = 26, 13, 16
+VOCAB = int(os.environ.get("BENCH_VOCAB", 10000))
 BATCH = 4096
 STEPS_PER_EPOCH = 100
 HIDDEN = (400, 400, 400)
@@ -36,7 +37,8 @@ def main():
     cols = ([SparseFeat("C%d" % i, VOCAB, EMB) for i in range(N_SPARSE)]
             + [DenseFeat("I%d" % i, 1) for i in range(N_DENSE)])
     model = DeepFM(cols, cols, dnn_hidden_units=HIDDEN)
-    model.compile("adagrad", "binary_crossentropy", metrics=[])
+    model.compile(os.environ.get("BENCH_OPT", "adagrad"),
+                  "binary_crossentropy", metrics=[])
 
     # device-resident dataset: one epoch = STEPS_PER_EPOCH full batches
     n = BATCH * STEPS_PER_EPOCH
