@@ -363,8 +363,11 @@ def main():
             _spec.loader.exec_module(_stb)
             extras["dien_train_maxlen100_eps"] = round(
                 _stb.bench_ours("dien", 100), 1)
+            extras["din_train_maxlen100_eps"] = round(
+                _stb.bench_ours("din", 100), 1)
         except Exception as e:
-            extras["dien_train_maxlen100_eps"] = "error: %s" % e
+            extras.setdefault("dien_train_maxlen100_eps", "error: %s" % e)
+            extras.setdefault("din_train_maxlen100_eps", "error: %s" % e)
         record["extras"] = extras
     print(json.dumps(record))
 

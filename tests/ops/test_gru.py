@@ -222,3 +222,59 @@ def test_masked_gru_inference_arg_matches_training_path():
     o2, h2 = m.apply(params, x, lengths, training=False)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
+def test_dien_fit_through_interpret_kernel():
+    """ENGINE-level composition through the fused kernel: a short DIEN
+    fit with DEEPCTR_GRU_KERNEL=interpret must produce the same loss
+    trajectory as the scan path (same weights, same batches) — pins the
+    dispatch inside the real train step (aux loss, attention, masking),
+    not just the module call."""
+    import os
+    from deepctr_tpu.features import (SparseFeat, DenseFeat,
+                                      VarLenSparseFeat)
+    from deepctr_tpu.models import DIEN
+    rng = np.random.default_rng(0)
+    N, V, T = 256, 30, 6
+    x = {"item": rng.integers(1, V, N),
+         "seq_length": rng.integers(1, T + 1, N)}
+    mask = np.arange(T)[None, :] < x["seq_length"][:, None]
+    x["hist_item"] = np.where(mask, rng.integers(1, V, (N, T)), 0)
+    x["neg_hist_item"] = np.where(mask, rng.integers(1, V, (N, T)), 0)
+    y = (x["item"] % 2).astype(np.float32)
+    cols = [SparseFeat("item", V, 8),
+            VarLenSparseFeat(SparseFeat("hist_item", V, 8,
+                                        embedding_name="item"), T,
+                             length_name="seq_length"),
+            VarLenSparseFeat(SparseFeat("neg_hist_item", V, 8,
+                                        embedding_name="item"), T,
+                             length_name="seq_length")]
+
+    def run(env):
+        os.environ["DEEPCTR_GRU_KERNEL"] = env
+        try:
+            m = DIEN(cols, ["item"], gru_type="AUGRU",
+                     use_negsampling=True, dnn_hidden_units=(8,),
+                     seed=7)
+            m.compile("sgd", "binary_crossentropy", metrics=[])
+            h = m.fit(x, y, batch_size=128, epochs=2, verbose=0,
+                      shuffle=False)
+            return h.history["loss"], m.predict(x, 128)
+        finally:
+            del os.environ["DEEPCTR_GRU_KERNEL"]
+
+    l_scan, p_scan = run("0")
+    l_kern, p_kern = run("interpret")
+    np.testing.assert_allclose(l_kern, l_scan, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(p_kern, p_scan, rtol=1e-4, atol=1e-5)
+
+
+def test_gru_kernel_env_validation():
+    import os
+    from deepctr_tpu import config
+    os.environ["DEEPCTR_GRU_KERNEL"] = "bogus"
+    try:
+        with pytest.raises(ValueError):
+            config.gru_kernel()
+    finally:
+        del os.environ["DEEPCTR_GRU_KERNEL"]

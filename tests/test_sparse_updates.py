@@ -566,3 +566,11 @@ def test_combined3_adam_t_modes_match_separate(monkeypatch, tmode):
         return m.predict(x, 64)
 
     np.testing.assert_allclose(run(False), run(True), atol=2e-5)
+
+
+def test_adam_t_env_validation(monkeypatch):
+    monkeypatch.setenv("DEEPCTR_ADAM_T", "bogus")
+    cols = [SparseFeat("c0", 50, 4)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,))
+    with pytest.raises(ValueError):
+        m._adam_t_mode()
