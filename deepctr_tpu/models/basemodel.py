@@ -53,6 +53,7 @@ _OPT_DEFAULT_LR = {"sgd": 0.01, "adam": 0.001, "adagrad": 0.01,
                    "rmsprop": 0.01}
 _ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
 _ADAGRAD_EPS = 1e-10
+_RMS_DECAY, _RMS_EPS = 0.99, 1e-8
 
 
 def _torch_adagrad(lr, eps=_ADAGRAD_EPS):
@@ -83,6 +84,35 @@ def _torch_adagrad(lr, eps=_ADAGRAD_EPS):
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def _torch_rmsprop(lr, decay=_RMS_DECAY, eps=_RMS_EPS):
+    """torch.optim.RMSprop semantics (momentum 0, not centered):
+    v = decay·v + (1-decay)·g²; step = lr·g/(√v + eps).
+
+    optax.rmsprop is NOT equivalent for the same reason optax.adagrad
+    was not (see _torch_adagrad): its scale_by_rms puts eps INSIDE the
+    sqrt (g·rsqrt(v + eps)), while torch adds eps to √v — for
+    init-scale gradients the step sizes differ materially.  The
+    rmsprop trajectory-equivalence test pins this form.
+    (reference parity: torch.optim.RMSprop as named by
+    deepctr_torch/models/basemodel.py:447-461)
+    """
+    def init_fn(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=jnp.float32), params)
+
+    def update_fn(updates, state, params=None):
+        new_state = jax.tree_util.tree_map(
+            lambda v, g: decay * v
+            + (1 - decay) * jnp.square(g.astype(jnp.float32)),
+            state, updates)
+        upd = jax.tree_util.tree_map(
+            lambda g, v: (-lr * g / (jnp.sqrt(v) + eps)).astype(g.dtype),
+            updates, new_state)
+        return upd, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _get_optimizer(optimizer, learning_rate=None):
     """Name -> optax transform with torch-default hyperparameters;
     ``learning_rate`` overrides the name's default.
@@ -99,7 +129,7 @@ def _get_optimizer(optimizer, learning_rate=None):
             return optax.adam(lr, b1=_ADAM_B1, b2=_ADAM_B2, eps=_ADAM_EPS)
         if optimizer == "adagrad":
             return _torch_adagrad(lr)
-        return optax.rmsprop(lr, decay=0.99, eps=1e-8)
+        return _torch_rmsprop(lr)
     if learning_rate is not None:
         raise ValueError("learning_rate is only meaningful with a named "
                          "optimizer; configure the optax transform directly")
@@ -332,7 +362,7 @@ class BaseModel(object):
     # ------------------------------------------------------------------
     # sparse (touched-rows-only / active-rows) embedding-table updates
     # ------------------------------------------------------------------
-    _SPARSE_OPTIMIZERS = ("sgd", "adagrad", "adam")
+    _SPARSE_OPTIMIZERS = ("sgd", "adagrad", "adam", "rmsprop")
 
     def _resolve_sparse_specs(self, mode):
         if mode is False:
@@ -524,6 +554,12 @@ class BaseModel(object):
             return {"m": jnp.zeros(w.shape, jnp.float32),
                     "v": jnp.zeros(w.shape, jnp.float32),
                     "t": t0}
+        if self._optimizer_name == "rmsprop":
+            # lazy rmsprop: per-row square-average, decayed only when a
+            # row is touched (same lazy-moment semantics as adam);
+            # separate-leaf XLA path only (no combined/Pallas variant —
+            # rmsprop is not a big-vocab production default)
+            return jnp.zeros(w.shape, jnp.float32)
         return ()
 
     def _adam_t_mode(self):
@@ -1171,6 +1207,12 @@ class BaseModel(object):
                     acc_rows = _get_rows(acc, rows) + jnp.square(g)
                     new_state[path] = _set_rows(acc, rows, acc_rows)
                     step = lr * g / (jnp.sqrt(acc_rows) + _ADAGRAD_EPS)
+                elif opt_name == "rmsprop":
+                    acc = table_state[path]
+                    acc_rows = (_RMS_DECAY * _get_rows(acc, rows)
+                                + (1 - _RMS_DECAY) * jnp.square(g))
+                    new_state[path] = _set_rows(acc, rows, acc_rows)
+                    step = lr * g / (jnp.sqrt(acc_rows) + _RMS_EPS)
                 elif opt_name == "adam":
                     st = table_state[path]
                     m = (_ADAM_B1 * _get_rows(st["m"], rows)

@@ -574,3 +574,42 @@ def test_adam_t_env_validation(monkeypatch):
     m = DeepFM(cols, cols, dnn_hidden_units=(8,))
     with pytest.raises(ValueError):
         m._adam_t_mode()
+
+
+def test_sparse_rmsprop_exact_when_all_rows_touched():
+    """Lazy rmsprop == dense rmsprop exactly while every row is touched
+    every step.  Unlike adagrad (accumulate-only: untouched rows add
+    g^2 = 0 — identical either way), rmsprop DECAYS the square-average,
+    so dense decays untouched rows toward zero while lazy freezes them;
+    equality therefore needs full coverage per batch (the lazy-moment
+    divergence is the documented sparse semantics, as with adam)."""
+    N, V = 256, 8
+    rng = np.random.default_rng(0)
+    x = {"c0": np.arange(N) % V, "d0": rng.random(N)}
+    y = ((np.arange(N) % V) % 2).astype(np.float64)
+    cols = [SparseFeat("c0", V, 4), DenseFeat("d0", 1)]
+
+    def run(sparse):
+        m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+                   l2_reg_embedding=0, l2_reg_linear=0)
+        m.compile("rmsprop", "binary_crossentropy",
+                  sparse_table_updates=sparse)
+        m.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
+        return m.predict(x, 64)
+
+    np.testing.assert_allclose(run(False), run(True), atol=3e-5)
+
+
+def test_sparse_rmsprop_untouched_rows_frozen():
+    rng = np.random.default_rng(0)
+    N = 256
+    x = {"c0": rng.integers(0, 500, N)}
+    y = rng.integers(0, 2, N).astype(np.float64)
+    cols = [SparseFeat("c0", 1000, 4)]
+    m = DeepFM(cols, cols, dnn_hidden_units=(8,), seed=3,
+               l2_reg_embedding=0, l2_reg_linear=0)
+    m.compile("rmsprop", "binary_crossentropy", sparse_table_updates=True)
+    before = np.asarray(m.params["embedding_dict"]["c0"][500:]).copy()
+    m.fit(x, y, batch_size=64, epochs=3, verbose=0)
+    after = np.asarray(m.params["embedding_dict"]["c0"][500:])
+    np.testing.assert_array_equal(before, after)

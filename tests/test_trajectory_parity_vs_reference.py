@@ -128,7 +128,8 @@ def _run_both(torch_cls, jax_cls, optimizer, kwargs, cin_layers=0,
     return tm, jm, th.history["loss"], jh.history["loss"], x, n_dnn
 
 
-@pytest.mark.parametrize("optimizer", ["adagrad", "adam", "sgd"])
+@pytest.mark.parametrize("optimizer", ["adagrad", "adam", "sgd",
+                                       "rmsprop"])
 def test_deepfm_trajectory_equivalence(optimizer):
     from deepctr_torch.models import DeepFM as TorchDeepFM
     from deepctr_tpu.models import DeepFM
