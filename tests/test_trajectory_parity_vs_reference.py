@@ -62,6 +62,9 @@ def _copy_weights(tm, jm, n_dnn_layers, cin_layers=0):
         params["cin"]["conv_w_%d" % li] = \
             sd["cin.conv1ds.%d.weight" % li][:, :, 0]
         params["cin"]["conv_b_%d" % li] = sd["cin.conv1ds.%d.bias" % li]
+    if "crossnet.kernels" in sd:   # DCN (same [L, n, 1|n] layout)
+        params["crossnet"]["kernels"] = sd["crossnet.kernels"]
+        params["crossnet"]["bias"] = sd["crossnet.bias"]
     params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
     if cin_layers:
         params["cin_linear"]["kernel"] = sd["cin_linear.weight"].T
@@ -94,6 +97,9 @@ def _final_param_pairs(jm, tm, n_dnn_layers, cin_layers=0):
                       sd["cin.conv1ds.%d.weight" % li][:, :, 0]))
         pairs.append((p["cin"]["conv_b_%d" % li],
                       sd["cin.conv1ds.%d.bias" % li]))
+    if "crossnet.kernels" in sd:
+        pairs.append((p["crossnet"]["kernels"], sd["crossnet.kernels"]))
+        pairs.append((p["crossnet"]["bias"], sd["crossnet.bias"]))
     pairs.append((p["dnn_linear"]["kernel"], sd["dnn_linear.weight"].T))
     if cin_layers:
         pairs.append((p["cin_linear"]["kernel"], sd["cin_linear.weight"].T))
@@ -299,3 +305,23 @@ def test_adam_active_rows_trajectory_vs_reference(monkeypatch,
         np.testing.assert_allclose(p["embedding_dict"][name],
                                    _pack_full(full, pack),
                                    rtol=2e-3, atol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("parameterization", ["vector", "matrix"])
+def test_dcn_trajectory_equivalence(parameterization):
+    """DCN (CrossNet vector=DCN / matrix=DCN-V2): the cross layers sit
+    inside the differentiated graph, so a matching 60-step trajectory
+    pins their values AND gradients against the reference (the round-2
+    CrossNetMix C-transpose bug class is exactly what this guards)."""
+    from deepctr_torch.models import DCN as TorchDCN
+    from deepctr_tpu.models import DCN
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchDCN, DCN, "adagrad",
+        dict(cross_num=2, cross_parameterization=parameterization,
+             dnn_hidden_units=(16, 8)))
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
+    for ours, ref in _final_param_pairs(jm, tm, n_dnn):
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
