@@ -65,6 +65,12 @@ def _copy_weights(tm, jm, n_dnn_layers, cin_layers=0):
     if "crossnet.kernels" in sd:   # DCN (same [L, n, 1|n] layout)
         params["crossnet"]["kernels"] = sd["crossnet.kernels"]
         params["crossnet"]["bias"] = sd["crossnet.bias"]
+    li = 0                             # AutoInt (same [E, E] layouts)
+    while "int_layers.%d.W_Query" % li in sd:
+        for w in ("W_Query", "W_key", "W_Value", "W_Res"):
+            params["int_layer_%d" % li][w] = \
+                sd["int_layers.%d.%s" % (li, w)]
+        li += 1
     params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
     if cin_layers:
         params["cin_linear"]["kernel"] = sd["cin_linear.weight"].T
@@ -100,6 +106,12 @@ def _final_param_pairs(jm, tm, n_dnn_layers, cin_layers=0):
     if "crossnet.kernels" in sd:
         pairs.append((p["crossnet"]["kernels"], sd["crossnet.kernels"]))
         pairs.append((p["crossnet"]["bias"], sd["crossnet.bias"]))
+    li = 0
+    while "int_layers.%d.W_Query" % li in sd:
+        for w in ("W_Query", "W_key", "W_Value", "W_Res"):
+            pairs.append((p["int_layer_%d" % li][w],
+                          sd["int_layers.%d.%s" % (li, w)]))
+        li += 1
     pairs.append((p["dnn_linear"]["kernel"], sd["dnn_linear.weight"].T))
     if cin_layers:
         pairs.append((p["cin_linear"]["kernel"], sd["cin_linear.weight"].T))
@@ -319,6 +331,24 @@ def test_dcn_trajectory_equivalence(parameterization):
     tm, jm, tl, jl, x, n_dnn = _run_both(
         TorchDCN, DCN, "adagrad",
         dict(cross_num=2, cross_parameterization=parameterization,
+             dnn_hidden_units=(16, 8)))
+    np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
+    for ours, ref in _final_param_pairs(jm, tm, n_dnn):
+        np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_autoint_trajectory_equivalence():
+    """AutoInt: the multi-head self-attention stack (InteractingLayer
+    W_Query/key/Value/Res) inside the differentiated graph over 60
+    steps vs the reference."""
+    from deepctr_torch.models import AutoInt as TorchAutoInt
+    from deepctr_tpu.models import AutoInt
+
+    tm, jm, tl, jl, x, n_dnn = _run_both(
+        TorchAutoInt, AutoInt, "adagrad",
+        dict(att_layer_num=2, att_head_num=2,
              dnn_hidden_units=(16, 8)))
     np.testing.assert_allclose(jl, tl, rtol=2e-4, atol=2e-5)
     for ours, ref in _final_param_pairs(jm, tm, n_dnn):
