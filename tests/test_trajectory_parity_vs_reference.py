@@ -355,3 +355,67 @@ def test_autoint_trajectory_equivalence():
         np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-5)
     np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad"])
+def test_afm_trajectory_equivalence(optimizer):
+    """AFM: the attention-pooled FM (AFMLayer attention_W/b +
+    projection_h/p, softmax over pair products) inside the
+    differentiated graph over 60 steps vs the reference, including the
+    l2_reg_att rule on attention_W (ref models/afm.py:47).
+
+    Params are asserted under SGD only: the attention head's early
+    gradients are near zero (uniform softmax), so adagrad's
+    first-step +-lr*sign(g) kicks amplify fp noise on elements that do
+    not move the function (measured: loss matches to 5e-7 while
+    attention_W drifts ~6e-3 reg-free; with l2_reg_att=1e-2 dominating
+    the gradient the params match to 2e-5 — the same effect documented
+    in the DIEN trajectory test)."""
+    import torch
+    from deepctr_torch.inputs import (SparseFeat as TS, DenseFeat as TD)
+    from deepctr_torch.models import AFM as TorchAFM
+    from deepctr_tpu.features import SparseFeat
+    from deepctr_tpu.models import AFM
+
+    torch.manual_seed(0)
+    x, y = _data()
+    x = {k: v for k, v in x.items() if k != "d0"}  # AFM: sparse only
+    tcols = [TS("s%d" % i, V, E) for i in range(F)]
+    jcols = [SparseFeat("s%d" % i, V, E) for i in range(F)]
+    kwargs = dict(use_attention=True, attention_factor=4, afm_dropout=0)
+    tm = TorchAFM(tcols, tcols, **kwargs)
+    jm = AFM(jcols, jcols, **kwargs)
+
+    params = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(),
+                                    jm.params)
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    for i in range(F):
+        name = "s%d" % i
+        params["embedding_dict"][name] = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+    for w in ("attention_W", "attention_b", "projection_h",
+              "projection_p"):
+        assert params["fm"][w].shape == sd["fm." + w].shape, w
+        params["fm"][w] = sd["fm." + w]
+    params["out"]["bias"] = sd["out.bias"]
+    jm.set_weights({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                    "batch_stats": jm.batch_stats})
+
+    tm.compile(optimizer, "binary_crossentropy", metrics=[])
+    jm.compile(optimizer, "binary_crossentropy", metrics=[])
+    th = tm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    jh = jm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    np.testing.assert_allclose(jh.history["loss"], th.history["loss"],
+                               rtol=2e-4, atol=2e-5)
+    if optimizer == "sgd":
+        p = jax.tree_util.tree_map(np.asarray, jm.get_weights()["params"])
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        for w in ("attention_W", "attention_b", "projection_h",
+                  "projection_p"):
+            np.testing.assert_allclose(p["fm"][w], sd["fm." + w],
+                                       rtol=2e-3, atol=2e-5, err_msg=w)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
