@@ -419,3 +419,80 @@ def test_afm_trajectory_equivalence(optimizer):
                                        rtol=2e-3, atol=2e-5, err_msg=w)
     np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad"])
+def test_fibinet_trajectory_equivalence(optimizer):
+    """FiBiNET: SENET excitation (squeeze-reduce-expand reweighting) and
+    the shared per-pair bilinear kernels — applied to BOTH the raw and
+    the SENET-reweighted embeddings — inside the differentiated graph
+    over 60 steps vs the reference.  Params asserted under SGD; adagrad
+    pinned by loss + predictions (the SENET/bilinear early gradients
+    are small — same sign-kick effect documented in the DIEN/AFM
+    tests)."""
+    import torch
+    from deepctr_torch.inputs import (SparseFeat as TS, DenseFeat as TD)
+    from deepctr_torch.models import FiBiNET as TorchFiBiNET
+    from deepctr_tpu.features import SparseFeat, DenseFeat
+    from deepctr_tpu.models import FiBiNET
+
+    torch.manual_seed(0)
+    x, y = _data()
+    tcols = [TS("s%d" % i, V, E) for i in range(F)] + [TD("d0", 1)]
+    jcols = [SparseFeat("s%d" % i, V, E) for i in range(F)] + [
+        DenseFeat("d0", 1)]
+    kwargs = dict(bilinear_type="interaction", reduction_ratio=2,
+                  dnn_hidden_units=(16, 8), dnn_dropout=0)
+    tm = TorchFiBiNET(tcols, tcols, **kwargs)
+    jm = FiBiNET(jcols, jcols, **kwargs)
+
+    params = jax.tree_util.tree_map(lambda a: np.asarray(a).copy(),
+                                    jm.params)
+    sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+    for i in range(F):
+        name = "s%d" % i
+        params["embedding_dict"][name] = np.concatenate(
+            [sd["embedding_dict.%s.weight" % name],
+             sd["linear_model.embedding_dict.%s.weight" % name]], axis=1)
+    params["linear_model"]["weight"] = sd["linear_model.weight"]
+    params["SE"]["reduce"]["kernel"] = sd["SE.excitation.0.weight"].T
+    params["SE"]["expand"]["kernel"] = sd["SE.excitation.2.weight"].T
+    # per-pair Linear weights -> stacked [n_pairs, E, E], transposed per
+    # pair (Linear computes v @ W.T; the layer-parity test pins w.T for
+    # the "all" type and "interaction" stacks the same orientation)
+    n_pairs = F * (F - 1) // 2
+    bw = np.stack([sd["Bilinear.bilinear.%d.weight" % k].T
+                   for k in range(n_pairs)])
+    assert params["Bilinear"]["kernel"].shape == bw.shape
+    params["Bilinear"]["kernel"] = bw
+    for li in range(2):
+        params["dnn"]["dense_%d" % li]["kernel"] = \
+            sd["dnn.linears.%d.weight" % li].T
+        params["dnn"]["dense_%d" % li]["bias"] = \
+            sd["dnn.linears.%d.bias" % li]
+    params["dnn_linear"]["kernel"] = sd["dnn_linear.weight"].T
+    params["out"]["bias"] = sd["out.bias"]
+    jm.set_weights({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                    "batch_stats": jm.batch_stats})
+
+    tm.compile(optimizer, "binary_crossentropy", metrics=[])
+    jm.compile(optimizer, "binary_crossentropy", metrics=[])
+    th = tm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    jh = jm.fit(x, y, batch_size=B, epochs=EPOCHS, verbose=0,
+                shuffle=False)
+    np.testing.assert_allclose(jh.history["loss"], th.history["loss"],
+                               rtol=2e-4, atol=2e-5)
+    if optimizer == "sgd":
+        p = jax.tree_util.tree_map(np.asarray, jm.get_weights()["params"])
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        np.testing.assert_allclose(
+            p["SE"]["reduce"]["kernel"], sd["SE.excitation.0.weight"].T,
+            rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(
+            p["Bilinear"]["kernel"],
+            np.stack([sd["Bilinear.bilinear.%d.weight" % k].T
+                      for k in range(n_pairs)]),
+            rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(jm.predict(x, N), tm.predict(x, N),
+                               rtol=1e-3, atol=1e-4)
