@@ -329,7 +329,9 @@ def main():
             extras["deepfm_criteo_real_cardinality_eps"] = "error: %s" % e
         # adam legs (verdict r3 #3): the reference's default-suggested
         # optimizer on the big-vocab active-rows path — combined (w|m|v)
-        # triple storage + per-row t (basemodel._init_table_state)
+        # triple storage + per-table scalar t (DEEPCTR_ADAM_T=table
+        # default, torch state['step'] semantics; the +26% over per-row
+        # t is what these legs measure — basemodel._init_table_state)
         saved_opt = os.environ.get("BENCH_OPT")
         os.environ["BENCH_OPT"] = "adam"
         try:

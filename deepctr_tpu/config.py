@@ -202,7 +202,16 @@ def gru_kernel(training=True, T=None):
             except Exception:
                 mode = False
     if mode is True:
-        return "compiled"
+        # Forced-on (DEEPCTR_GRU_KERNEL=1 / set_gru_kernel(True)) off
+        # TPU would die at Mosaic compile time with an opaque error;
+        # degrade to the interpreter, which is slow but numerically
+        # the same kernel (advisor r4).
+        import jax
+        try:
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        except Exception:
+            on_tpu = False
+        return "compiled" if on_tpu else "interpret"
     return mode or False
 
 

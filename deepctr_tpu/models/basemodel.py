@@ -542,9 +542,10 @@ class BaseModel(object):
                 # INTERLEAVED [3R, 128] (w | m | v) triples, the adam
                 # analog of adagrad's pair layout: the Pallas scatter
                 # writes 1 triple-DMA per touched row (L=3) instead of
-                # three XLA row scatters.  Row-sharded tables keep
-                # the separate-leaf path (parallel/update.py's sharded
-                # kernel is adagrad-only).
+                # three XLA row scatters.  Row-sharded tables use this
+                # too via parallel/update.sharded_combined3_update when
+                # t is the per-table scalar (the default); only the
+                # rowwise-t form falls back to separate leaves.
                 return {"combined3": jnp.stack(
                     [w.astype(jnp.float32),
                      jnp.zeros(w.shape, jnp.float32),
