@@ -56,33 +56,119 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
-def test_mtl_model_under_mesh():
+def test_mtl_model_under_mesh_matches_single_device():
+    """MMOE (multi-task losses + vmap-stacked experts) sharded vs
+    single-device: numeric equivalence, not just a smoke run (round-4
+    verdict #3)."""
     from deepctr_tpu.models.multitask import MMOE
     from .utils_mtl import get_mtl_test_data
-    mesh = make_mesh((4, 2))
+    np.random.seed(0)
     x, y, cols = get_mtl_test_data(64, sparse_feature_num=2,
                                    dense_feature_num=1)
-    model = MMOE(cols, num_experts=2, expert_dnn_hidden_units=(8,),
-                 task_types=("binary", "binary"), task_names=("a", "b"),
-                 mesh=mesh, shard_embeddings=True)
-    model.compile("adam", ["binary_crossentropy", "binary_crossentropy"],
-                  metrics=["binary_crossentropy"])
-    model.fit(x, y, batch_size=32, epochs=1, verbose=0)
-    pred = model.predict(x, 32)
-    assert pred.shape == (64, 2) and np.all(np.isfinite(pred))
+
+    def run(mesh, shard):
+        model = MMOE(cols, num_experts=2, expert_dnn_hidden_units=(8,),
+                     task_types=("binary", "binary"),
+                     task_names=("a", "b"), seed=3, mesh=mesh,
+                     shard_embeddings=shard)
+        model.compile("adam",
+                      ["binary_crossentropy", "binary_crossentropy"])
+        h = model.fit(x, y, batch_size=32, epochs=2, verbose=0,
+                      shuffle=False)
+        return model.predict(x, 32), h.history["loss"]
+
+    p_ref, l_ref = run(None, False)
+    p, l = run(make_mesh((4, 2)), True)
+    assert p.shape == (64, 2) and np.all(np.isfinite(p))
+    np.testing.assert_allclose(l, l_ref, rtol=1e-4)
+    assert np.allclose(p, p_ref, atol=1e-4), np.abs(p - p_ref).max()
 
 
-def test_din_under_mesh():
+def test_din_under_mesh_matches_single_device():
+    """DIN (attention-over-history + Dice) sharded vs single-device:
+    numeric equivalence (round-4 verdict #3)."""
     from deepctr_tpu.models import DIN
     from .models.DIN_test import get_xy_fd
-    mesh = make_mesh((8, 1))
     x, y, cols, behavior_list = get_xy_fd()
-    model = DIN(cols, behavior_list, dnn_hidden_units=(8,),
-                att_activation="relu", mesh=mesh)
-    model.compile("adam", "binary_crossentropy")
-    model.fit(x, y, batch_size=8, epochs=1, verbose=0)
-    pred = model.predict(x, 8)
-    assert pred.shape == (4, 1) and np.all(np.isfinite(pred))
+    x = {k: np.tile(v, (8,) + (1,) * (v.ndim - 1)) for k, v in x.items()}
+    y = np.tile(y, 8)
+
+    def run(mesh):
+        model = DIN(cols, behavior_list, dnn_hidden_units=(8,),
+                    att_activation="relu", seed=3, mesh=mesh)
+        model.compile("adam", "binary_crossentropy")
+        h = model.fit(x, y, batch_size=16, epochs=2, verbose=0,
+                      shuffle=False)
+        return model.predict(x, 16), h.history["loss"]
+
+    p_ref, l_ref = run(None)
+    p, l = run(make_mesh((8, 1)))
+    assert p.shape == (32, 1) and np.all(np.isfinite(p))
+    np.testing.assert_allclose(l, l_ref, rtol=1e-4)
+    assert np.allclose(p, p_ref, atol=1e-4), np.abs(p - p_ref).max()
+
+
+def test_dien_sharded_matches_single_device():
+    """DIEN with use_negsampling + AUGRU under the mesh: masked
+    lax.scan carries, the sown auxiliary BCE loss and the neg-history
+    lookups are the semantics most likely to break under GSPMD
+    partitioning (round-4 verdict #3; ref dien.py:236-273) — the
+    sharded run must reproduce the single-device trajectory."""
+    from deepctr_tpu.models import DIEN
+    from .models.DIEN_test import get_xy_fd
+    x, y, cols, behavior_list = get_xy_fd(use_neg=True)
+    x = {k: np.tile(v, (8,) + (1,) * (v.ndim - 1)) for k, v in x.items()}
+    y = np.tile(y, 8)
+
+    def run(mesh, shard):
+        model = DIEN(cols, behavior_list, gru_type="AUGRU",
+                     use_negsampling=True, alpha=0.8,
+                     dnn_hidden_units=(8,), seed=3, mesh=mesh,
+                     shard_embeddings=shard)
+        model.compile("adagrad", "binary_crossentropy")
+        h = model.fit(x, y, batch_size=16, epochs=2, verbose=0,
+                      shuffle=False)
+        return model.predict(x, 16), h.history["loss"]
+
+    p_ref, l_ref = run(None, False)
+    for shape, shard in (((8, 1), False), ((4, 2), True)):
+        p, l = run(make_mesh(shape), shard)
+        assert p.shape == (32, 1) and np.all(np.isfinite(p))
+        np.testing.assert_allclose(l, l_ref, rtol=1e-4,
+                                   err_msg=str(shape))
+        assert np.allclose(p, p_ref, atol=1e-4), \
+            (shape, np.abs(p - p_ref).max())
+
+
+def test_ple_sharded_matches_single_device():
+    """PLE (vmap-stacked expert groups x progressive gate routing)
+    sharded vs single-device numeric equivalence (round-4 verdict #3:
+    stacked experts x row sharding had never executed under a mesh)."""
+    from deepctr_tpu.models.multitask import PLE
+    from .utils_mtl import get_mtl_test_data
+    np.random.seed(0)
+    x, y, cols = get_mtl_test_data(64, sparse_feature_num=2,
+                                   dense_feature_num=1)
+
+    def run(mesh, shard):
+        model = PLE(cols, shared_expert_num=2, specific_expert_num=2,
+                    num_levels=2, expert_dnn_hidden_units=(8,),
+                    gate_dnn_hidden_units=(4,),
+                    tower_dnn_hidden_units=(4,),
+                    task_types=("binary", "binary"),
+                    task_names=("a", "b"), seed=3, mesh=mesh,
+                    shard_embeddings=shard)
+        model.compile("adam",
+                      ["binary_crossentropy", "binary_crossentropy"])
+        h = model.fit(x, y, batch_size=32, epochs=2, verbose=0,
+                      shuffle=False)
+        return model.predict(x, 32), h.history["loss"]
+
+    p_ref, l_ref = run(None, False)
+    p, l = run(make_mesh((4, 2)), True)
+    assert p.shape == (64, 2) and np.all(np.isfinite(p))
+    np.testing.assert_allclose(l, l_ref, rtol=1e-4)
+    assert np.allclose(p, p_ref, atol=1e-4), np.abs(p - p_ref).max()
 
 
 def test_mesh_sparse_packed_matches_single_device(monkeypatch):
