@@ -350,6 +350,31 @@ def main():
             del os.environ["BENCH_OPT"]
         else:
             os.environ["BENCH_OPT"] = saved_opt
+        # inference legs (verdict r4 #5): predict ex/s/chip for the
+        # headline configs via tools/predict_bench.py (same fori_loop
+        # methodology, forward-only).  The serving-artifact overhead and
+        # the xDeepFM CIN dispatch A/B are recorded in BASELINE.md
+        # (one-time measurements, not per-round).
+        try:
+            import importlib.util as _ilu2
+            _spec2 = _ilu2.spec_from_file_location(
+                "predict_bench",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "predict_bench.py"))
+            _pb = _ilu2.module_from_spec(_spec2)
+            _spec2.loader.exec_module(_pb)
+            from deepctr_tpu.models import DeepFM as _DeepFM
+            extras["deepfm_predict_eps"] = round(_pb.bench_predict(
+                _DeepFM, dnn_hidden_units=HIDDEN), 1)
+            extras["deepfm_criteo_real_predict_eps"] = round(
+                _pb.bench_predict(_DeepFM, vocabs=CRITEO_KAGGLE_VOCABS,
+                                  dnn_hidden_units=HIDDEN), 1)
+            extras["din_predict_maxlen100_eps"] = round(
+                _pb.bench_predict_seq("din", 100), 1)
+            extras["dien_predict_maxlen100_eps"] = round(
+                _pb.bench_predict_seq("dien", 100), 1)
+        except Exception as e:
+            extras.setdefault("deepfm_predict_eps", "error: %s" % e)
         try:
             # DIEN training at realistic history length (masked AUGRU
             # scans + neg-sampling aux loss — the reference's worst

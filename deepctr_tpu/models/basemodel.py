@@ -332,6 +332,12 @@ class BaseModel(object):
         Requesting True with an unsupported optimizer warns and falls back
         to dense updates.
         """
+        # re-compiles after a fit must build the new optimizer/table
+        # state from the CURRENT weights: combined-storage tables leave
+        # params lagging behind table_state until synced (without this a
+        # compile('adam') following a fit('adagrad') would seed the new
+        # (w | m | v) buffers from the pre-fit weights)
+        self._sync_params()
         self.metrics_names = ["loss"]
         self.optim = _get_optimizer(optimizer, learning_rate)
         self._optimizer_name = optimizer if isinstance(optimizer, str) else None
@@ -356,6 +362,7 @@ class BaseModel(object):
             self._arena_bases, self._arena_layout = {}, []
             self.table_state = {}
         self.opt_state = self._masked_optim.init(self.params)
+        self._strip_combined_leaves()
         self._compiled = False
         return self
 
@@ -1596,6 +1603,10 @@ class BaseModel(object):
             callbacks.on_epoch_begin(epoch)
             start_time = time.time()
             rng = jax.random.fold_in(base_rng, epoch)
+            # validation/callbacks may have materialized combined-table
+            # leaves (_sync_params); re-strip so the cached runner sees
+            # the compiled [0, width] placeholder shapes
+            self._strip_combined_leaves()
             (self.params, self.opt_state, self.table_state,
              self.batch_stats, losses, preds) = run_epoch(
                 self.params, self.opt_state, self.table_state,
@@ -1727,6 +1738,7 @@ class BaseModel(object):
         for epoch in range(initial_epoch, epochs):
             callbacks.on_epoch_begin(epoch)
             start_time = time.time()
+            self._strip_combined_leaves()   # see _fit_device epoch loop
             sample_num, steps = 0, 0
             loss_parts = []    # device arrays; read back once at epoch end
             pred_parts, y_parts = [], []
@@ -1880,6 +1892,7 @@ class BaseModel(object):
             callbacks.on_epoch_begin(epoch)
             epoch_logs = {}
             start_time = time.time()
+            self._strip_combined_leaves()   # see _fit_device epoch loop
             loss_epoch = 0.0
             total_loss_epoch = 0.0
             train_result = {}
@@ -2035,6 +2048,42 @@ class BaseModel(object):
                 for spec in getattr(self, "_sparse_specs", [])):
             self._params_stale = True
 
+    def _combined_table_paths(self):
+        """Param paths whose weights live in combined storage (the
+        interleaved (w | acc)/(w | m | v) buffers or the arena)."""
+        paths = set(p for p, _, _ in getattr(self, "_arena_layout", []))
+        for spec in getattr(self, "_sparse_specs", []):
+            st = getattr(self, "table_state", {}).get(spec[0])
+            if isinstance(st, dict) and ("combined" in st
+                                         or "combined3" in st):
+                paths.add(spec[0])
+        return paths
+
+    def _strip_combined_leaves(self):
+        """Drop combined-storage tables' params leaves to [0, width]
+        placeholders (round-4 verdict #2).
+
+        During training those weights live ONLY in table_state's
+        interleaved buffer — the train step never reads the params leaf
+        (the active-rows transform gathers touched rows straight from
+        the combined buffer and substitutes the slice) — so a full
+        params copy is pure duplication: ~2.5 GB of the 9.2 GB step
+        arguments at criteo_real adam.  The placeholder keeps the
+        pytree STRUCTURE (jit/runner caches stay warm) while freeing
+        the buffer; any read path (predict/evaluate/get_weights/
+        checkpoint/serving) materializes on demand via _sync_params,
+        and the fit loops re-strip before the next epoch."""
+        stripped = False
+        for path in self._combined_table_paths():
+            w = _get_path(self.params, path)
+            if w.shape[0] != 0:
+                self.params = _set_path(
+                    self.params, path, jnp.zeros((0,) + w.shape[1:],
+                                                 w.dtype))
+                stripped = True
+        if stripped:
+            self._params_stale = True
+
     def _sync_params(self):
         """Copy the weight lanes of combined-storage tables back into
         params (cheap lane slice, once per epoch/read — never per step)."""
@@ -2068,6 +2117,7 @@ class BaseModel(object):
         if getattr(self, "optim", None) is not None:
             self.opt_state = self._masked_optim.init(self.params)
             self.table_state = self._build_table_state()
+            self._strip_combined_leaves()
         self._sharding_applied = False
         if self._compiled:
             self._apply_sharding()

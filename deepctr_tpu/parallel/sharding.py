@@ -88,18 +88,40 @@ def shard_variables(mesh, params, batch_stats, opt_state=None,
                             jax.tree_util.tree_leaves(shardings)):
             if getattr(sh, "spec", None) == P("model", None):
                 sharded_shapes[leaf.shape] = sh
-                # interleaved combined storage mirrors the table:
-                # (w | acc) pairs at [2R, 128] (adagrad), (w | m | v)
-                # triples at [3R, 128] (adam); row-shard identically
-                # (row groups stay co-located because R % model-axis
-                # == 0 is a precondition of combined state under
-                # sharding — basemodel._use_combined_state)
-                sharded_shapes[(2 * leaf.shape[0],) + leaf.shape[1:]] = sh
-                sharded_shapes[(3 * leaf.shape[0],) + leaf.shape[1:]] = sh
+
+        emb = embedding_sharding(mesh)
+        n_model = mesh.shape["model"]
+
+        def place_table(path, x):
+            """table_state placement by PATH, not params-shape mirroring:
+            combined-storage tables keep only a [0, width] placeholder in
+            params (basemodel._strip_combined_leaves), so the (w | acc)
+            [2R, 128] / (w | m | v) [3R, 128] buffers — and separate-leaf
+            accumulators — are row-sharded whenever their table path is
+            an embedding_dict entry and the rows divide the model axis
+            (R %% model-axis == 0 is a precondition of combined state
+            under sharding — basemodel._use_combined_state).  Scalars,
+            [R] step counters and the '__arena__' concat (never sharded)
+            replicate."""
+            keys = [str(getattr(k, "key", k)) for k in path]
+            if (shard_embeddings
+                    and any("embedding_dict" in k for k in keys)
+                    and "__arena__" not in keys
+                    and getattr(x, "ndim", 0) == 2
+                    and x.shape[0] % n_model == 0):
+                return jax.device_put(x, emb)
+            return jax.device_put(x, rep)
 
         def place(x):
             sh = sharded_shapes.get(getattr(x, "shape", None), rep)
             return jax.device_put(x, sh)
 
-        opt_state = jax.tree_util.tree_map(place, opt_state)
+        if isinstance(opt_state, dict) and "tables" in opt_state:
+            tables = jax.tree_util.tree_map_with_path(
+                place_table, opt_state["tables"])
+            rest = {k: jax.tree_util.tree_map(place, v)
+                    for k, v in opt_state.items() if k != "tables"}
+            opt_state = dict(rest, tables=tables)
+        else:
+            opt_state = jax.tree_util.tree_map(place, opt_state)
     return params, batch_stats, opt_state

@@ -271,6 +271,9 @@ def test_arena_untouched_rows_frozen_and_lazy_l2(monkeypatch):
                           sparse_table_updates=True)
                 assert "__arena__" in m.table_state
                 pack = m._sparse_specs[0][3]
+                # arena tables keep only a [0, width] placeholder in
+                # params after compile — sync to read
+                m._sync_params()
                 before = np.asarray(
                     m.params["embedding_dict"]["b0"]).copy()
                 m.fit(x, y, batch_size=64, epochs=2, verbose=0,
@@ -507,6 +510,9 @@ def test_combined3_adam_untouched_rows_frozen(monkeypatch):
     (pack,) = [s[3] for s in m._sparse_specs
                if s[0] == "embedding_dict/big"]
     boundary = (512 - 1) // pack + 1   # first packed row no id touches
+    # combined tables keep only a [0, width] placeholder in params
+    # after compile (_strip_combined_leaves) — sync to read
+    m._sync_params()
     before = np.asarray(m.params["embedding_dict"]["big"]).copy()
     m.fit(x, y, batch_size=64, epochs=3, verbose=0, shuffle=False)
     m._sync_params()
