@@ -623,7 +623,8 @@ class BaseModel(object):
         use_arena = (self._update_mode() == "arena"
                      and self._optimizer_name == "adagrad")
         for p, spans, n_rows, pack in self._sparse_specs:
-            st = self._init_table_state(_get_path(self.params, p))
+            w = _get_path(self.params, p)
+            st = self._init_table_state(w)
             if (use_arena and isinstance(st, dict) and "combined" in st):
                 self._arena_bases[p] = base
                 self._arena_layout.append((p, base, n_rows))
@@ -631,6 +632,17 @@ class BaseModel(object):
                 base += n_rows
             else:
                 state[p] = st
+            if isinstance(st, dict) and ("combined" in st
+                                         or "combined3" in st):
+                # free this table's params buffer NOW, before the next
+                # table's combined build: otherwise the CONSTRUCTION
+                # peak is full-params + full-combined simultaneously
+                # (the duplication the placeholder design removes) —
+                # at the capacity edge that transient alone OOMs
+                self.params = _set_path(
+                    self.params, p,
+                    jnp.zeros((0,) + w.shape[1:], w.dtype))
+                self._params_stale = True
         if arena_parts:
             state["__arena__"] = jnp.concatenate(arena_parts, axis=0)
         return state
