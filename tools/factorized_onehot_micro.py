@@ -80,18 +80,23 @@ def main():
     key = jax.random.PRNGKey(0)
     table = jax.random.normal(key, (V, E), jnp.float32)
     ids = jax.random.randint(key, (N,), 0, V)
+    # non-trivial downstream so the table cotangent is a dense random
+    # [N, E] (a sum's ones-cotangent lets XLA rewrite the backward
+    # one-hot matmul into a histogram and the bwd cost vanishes)
+    C = jax.random.normal(jax.random.fold_in(key, 1), (N, E), jnp.float32)
 
     out = {}
     out["direct_fwd_ms"] = round(timed(
-        lambda t, i: jnp.sum(direct(t, i)), table, ids), 3)
+        lambda t, i: jnp.sum(direct(t, i) * C), table, ids), 3)
     out["factorized_fwd_ms"] = round(timed(
-        lambda t, i: jnp.sum(factorized(t, i)), table, ids), 3)
+        lambda t, i: jnp.sum(factorized(t, i) * C), table, ids), 3)
     out["direct_fwdbwd_ms"] = round(timed(
         lambda t, i: jnp.sum(jax.grad(
-            lambda tt: jnp.sum(direct(tt, i)))(t)), table, ids), 3)
+            lambda tt: jnp.sum(direct(tt, i) * C))(t)), table, ids), 3)
     out["factorized_fwdbwd_ms"] = round(timed(
         lambda t, i: jnp.sum(jax.grad(
-            lambda tt: jnp.sum(factorized(tt, i)))(t)), table, ids), 3)
+            lambda tt: jnp.sum(factorized(tt, i) * C))(t)), table, ids),
+        3)
     out["shapes"] = dict(B=B, T=T, V=V, E=E, V1=V1, V2=V2)
     print(json.dumps(out))
 
