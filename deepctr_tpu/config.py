@@ -26,6 +26,34 @@ def compute_dtype():
     return _COMPUTE_DTYPE
 
 
+# Trace-time training flag: set by BaseModel._make_forward around
+# module.apply so ops below the module boundary (EmbeddingDict gathers)
+# can pick inference-only lowerings at TRACE time (no runtime cost; the
+# train step and the predict fn are separate traces).  Defaults to
+# True — training semantics are never changed by an unset flag.
+_TRACE_TRAINING = True
+
+
+def trace_training(flag):
+    """Context manager marking the current trace as training/inference."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _TRACE_TRAINING
+        prev = _TRACE_TRAINING
+        _TRACE_TRAINING = bool(flag)
+        try:
+            yield
+        finally:
+            _TRACE_TRAINING = prev
+    return _cm()
+
+
+def is_training_trace():
+    return _TRACE_TRAINING
+
+
 def set_use_pallas(mode):
     """Control Pallas kernel dispatch: True / False / 'auto' (TPU only)."""
     global _USE_PALLAS

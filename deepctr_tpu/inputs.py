@@ -204,9 +204,23 @@ class EmbeddingDict(nn.Module):
                 big=name in self.table_packs,
                 n_ids=row_ids.shape[0] * self._max_maxlen)
             if gmode == "onehot":
-                from .ops.onehot_lookup import onehot_lookup
+                from .ops.onehot_lookup import (onehot_lookup,
+                                                onehot_lookup_factorized,
+                                                factorized_supported)
                 flat = row_ids.reshape(-1)
-                rows = onehot_lookup(table, flat)
+                # inference traces take the factorized forward (1.30x,
+                # wide stage-1 output tiles the MXU; BASELINE round-5);
+                # training keeps the direct form — the factorized
+                # backward materializes a [n, V2*W] cotangent and
+                # measured 2.7x worse
+                import os as _os
+                if (not config.is_training_trace()
+                        and _os.environ.get(
+                            "DEEPCTR_FACTORIZED_ONEHOT", "1") != "0"
+                        and factorized_supported(*table.shape)):
+                    rows = onehot_lookup_factorized(table, flat)
+                else:
+                    rows = onehot_lookup(table, flat)
                 return rows.reshape(row_ids.shape + (table.shape[1],))
             if gmode == "cast":
                 table = table.astype(ct)

@@ -11,6 +11,8 @@ kernels in ``deepctr_tpu.ops.pallas``; layers dispatch through
 ``deepctr_tpu.ops`` which falls back to these jnp forms off-TPU.
 """
 
+import os as _os
+
 import numpy as np
 import flax.linen as nn
 import jax
@@ -132,11 +134,24 @@ class CIN(nn.Module):
                              "greater than 1")
         from ..ops import cin_mix
         dtype = config.compute_dtype()
+        # f32-CARRY policy under bf16 compute (DEEPCTR_CIN_F32_CARRY=0
+        # reverts): matmul OPERANDS are cast to bf16 (full MXU rate) but
+        # the carried activations — hidden maps fed to the next layer,
+        # whose bf16 roundings COMPOUND across the interaction chain —
+        # accumulate and stay in f32.  Causal probe (BASELINE round-5):
+        # a bf16 xDeepFM seed landing in a worse optimum (0.764 vs f32
+        # 0.802 on the planted-signal synthetic) recovers to 0.820 with
+        # the CIN chain in f32.
+        f32_carry = (dtype == jnp.bfloat16
+                     and _os.environ.get("DEEPCTR_CIN_F32_CARRY",
+                                         "1") != "0")
+        op_dtype = dtype
+        carry_dtype = jnp.float32 if f32_carry else dtype
         F = self.field_size
         field_nums = [F]
         # D-major layout throughout: feature-map axis last so the fused
         # kernel contracts over H*F with MXU-friendly tiling
-        x0_t = jnp.transpose(inputs, (0, 2, 1)).astype(dtype)   # [B, E, F]
+        x0_t = jnp.transpose(inputs, (0, 2, 1)).astype(carry_dtype)
         hidden = x0_t
         finals = []
         act = activation_layer(self.activation)
@@ -147,9 +162,11 @@ class CIN(nn.Module):
                                                     "uniform")
             w = self.param("conv_w_%d" % i, init, (size, in_ch))
             b = self.param("conv_b_%d" % i, nn.initializers.zeros, (size,))
-            w3 = w.astype(dtype).reshape(size, field_nums[-1], F)
-            x = cin_mix(hidden, x0_t, w3, training=training) \
-                + b.astype(dtype)[None, None, :]
+            w3 = w.astype(op_dtype).reshape(size, field_nums[-1], F)
+            x = cin_mix(hidden.astype(op_dtype), x0_t.astype(op_dtype),
+                        w3, training=training,
+                        out_dtype=carry_dtype if f32_carry else None) \
+                + b.astype(carry_dtype)[None, None, :]
             curr_out = act(x)                                   # [B, E, size]
             if self.split_half:
                 if i != len(self.layer_size) - 1:

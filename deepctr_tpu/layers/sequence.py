@@ -202,6 +202,21 @@ def _gru_h_gates(h, w_hh, b_hh):
     return jnp.split(gh, 3, axis=-1)
 
 
+def _gru_carry_dtype(dtype):
+    """f32-CARRY policy under bf16 compute (DEEPCTR_GRU_F32_CARRY=0
+    reverts): the recurrent hidden state's bf16 roundings COMPOUND over
+    T steps, measurably degrading converged quality (DIEN planted-
+    signal check, BASELINE round-5 — same mechanism as the CIN chain,
+    causally isolated there).  The gate matmuls still run on bf16
+    operands (full MXU rate); only the elementwise combine and the
+    carried h stay f32 — VPU-cheap next to the matmuls."""
+    import os
+    if (dtype == jnp.bfloat16
+            and os.environ.get("DEEPCTR_GRU_F32_CARRY", "1") != "0"):
+        return jnp.float32
+    return dtype
+
+
 def _gru_recurrence(gi, w_hh, b_hh, lengths, att, mode, training=True):
     """Fused-Pallas dispatch for the masked GRU recurrences.
 
@@ -304,13 +319,17 @@ class DynamicGRU(nn.Module):
         if fused is not None:
             return fused
 
+        cdtype = _gru_carry_dtype(dtype)
+
         def step(h, xs):
             gi_t, a_t, t = xs
-            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-            h_r, h_z, h_n = _gru_h_gates(h, w[1], w[3])
+            i_r, i_z, i_n = [g.astype(cdtype)
+                             for g in jnp.split(gi_t, 3, axis=-1)]
+            h_r, h_z, h_n = [g.astype(cdtype) for g in
+                             _gru_h_gates(h.astype(dtype), w[1], w[3])]
             reset = jax.nn.sigmoid(i_r + h_r)
             new = jnp.tanh(i_n + reset * h_n)
-            a = a_t.reshape(-1, 1).astype(dtype)
+            a = a_t.reshape(-1, 1).astype(cdtype)
             if is_augru:
                 update = a * jax.nn.sigmoid(i_z + h_z)
             else:
@@ -318,15 +337,16 @@ class DynamicGRU(nn.Module):
             h_new = (1.0 - update) * h + update * new
             valid = (t < lengths.astype(jnp.int32)).reshape(-1, 1)
             h_next = jnp.where(valid, h_new, h)
-            out_t = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+            out_t = jnp.where(valid, h_new,
+                              jnp.zeros_like(h_new)).astype(dtype)
             return h_next, out_t
 
-        h0 = jnp.zeros((B, H), dtype)
+        h0 = jnp.zeros((B, H), cdtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         xs = (gi, jnp.swapaxes(att_scores.reshape(B, T), 0, 1), ts)
         h_final, outs = jax.lax.scan(_maybe_remat(step), h0, xs,
                                      unroll=_scan_unroll())
-        return jnp.swapaxes(outs, 0, 1), h_final
+        return jnp.swapaxes(outs, 0, 1), h_final.astype(dtype)
 
 
 class MaskedGRU(nn.Module):
@@ -353,21 +373,26 @@ class MaskedGRU(nn.Module):
         if fused is not None:
             return fused
 
+        cdtype = _gru_carry_dtype(dtype)
+
         def step(h, xs):
             gi_t, t = xs
-            i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
-            h_r, h_z, h_n = _gru_h_gates(h, w[1], w[3])
+            i_r, i_z, i_n = [g.astype(cdtype)
+                             for g in jnp.split(gi_t, 3, axis=-1)]
+            h_r, h_z, h_n = [g.astype(cdtype) for g in
+                             _gru_h_gates(h.astype(dtype), w[1], w[3])]
             reset = jax.nn.sigmoid(i_r + h_r)
             update = jax.nn.sigmoid(i_z + h_z)
             new = jnp.tanh(i_n + reset * h_n)
             h_new = (1.0 - update) * new + update * h
             valid = (t < lengths.astype(jnp.int32)).reshape(-1, 1)
             h_next = jnp.where(valid, h_new, h)
-            out_t = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+            out_t = jnp.where(valid, h_new,
+                              jnp.zeros_like(h_new)).astype(dtype)
             return h_next, out_t
 
-        h0 = jnp.zeros((B, H), dtype)
+        h0 = jnp.zeros((B, H), cdtype)
         ts = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
         h_final, outs = jax.lax.scan(_maybe_remat(step), h0, (gi, ts),
                                      unroll=_scan_unroll())
-        return jnp.swapaxes(outs, 0, 1), h_final
+        return jnp.swapaxes(outs, 0, 1), h_final.astype(dtype)

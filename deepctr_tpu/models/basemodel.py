@@ -1281,13 +1281,19 @@ class BaseModel(object):
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
 
         def forward(params, batch_stats, X, training, rng):
+            from .. import config as dc_config
             variables = {"params": params}
             if has_bn:
                 variables["batch_stats"] = batch_stats
             mutable = ["batch_stats", "aux_loss"] if training else ["aux_loss"]
             rngs = {"dropout": rng} if training else None
-            y_pred, mutated = module.apply(variables, X, training=training,
-                                           rngs=rngs, mutable=mutable)
+            # trace-time training flag: ops below the module boundary
+            # (EmbeddingDict gathers) pick inference-only lowerings
+            # (e.g. the factorized one-hot) from it
+            with dc_config.trace_training(training):
+                y_pred, mutated = module.apply(variables, X,
+                                               training=training,
+                                               rngs=rngs, mutable=mutable)
             new_stats = mutated.get("batch_stats", batch_stats)
             aux = jnp.zeros((), jnp.float32)
             for leaf in jax.tree_util.tree_leaves(mutated.get("aux_loss", {})):

@@ -25,7 +25,7 @@ def cin_layer(hidden, x0, w, b):
     return _ref.cin_layer_ref(hidden, x0, w, b)
 
 
-def cin_mix(hidden_t, x0_t, w3, training=True):
+def cin_mix(hidden_t, x0_t, w3, training=True, out_dtype=None):
     """Pallas CIN dispatch.
 
     Training: opt-in only (``set_use_pallas(True)``), not 'auto' — the
@@ -40,8 +40,9 @@ def cin_mix(hidden_t, x0_t, w3, training=True):
     if config.use_pallas_explicit() or (not training and config.use_pallas()):
         p = _pallas()
         if p is not None and p.cin_mix_supported(hidden_t, x0_t, w3):
-            return p.cin_mix(hidden_t, x0_t, w3)
-    return _ref.cin_mix_ref(hidden_t, x0_t, w3)
+            out = p.cin_mix(hidden_t, x0_t, w3)
+            return out if out_dtype is None else out.astype(out_dtype)
+    return _ref.cin_mix_ref(hidden_t, x0_t, w3, out_dtype=out_dtype)
 
 
 def cross_net(x, kernels, bias, parameterization="vector"):

@@ -78,3 +78,64 @@ def _bwd(res, g):
 
 
 onehot_lookup.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------------------------------
+# factorized forward (INFERENCE dispatch)
+# --------------------------------------------------------------------------
+# id = hi * V2 + lo factors the [n, R] one-hot into onehot(hi) [n, V1]
+# against table.reshape(V1, V2*W) plus a VPU-cheap einsum with
+# onehot(lo).  FLOPs are identical (stage-1 alone costs the direct
+# form's MACs) but the stage-1 output is V2*W lanes wide, so the MXU
+# tiles fully where the direct form's W-wide output (W=16..32) wastes
+# 3/4+ of each 128-lane tile — measured 1.30x on the forward at the
+# DIEN-256 lookup shape (BASELINE.md round-5, tools/
+# factorized_onehot_micro.py).  The BACKWARD of the factorized form
+# must materialize the [n, V2*W] cotangent (2.7x WORSE, measured), so
+# this variant keeps the DIRECT backward via custom_vjp — the table
+# cotangent (sum of g rows per id) is lowering-independent — and the
+# gather site only dispatches it on inference traces anyway
+# (config.is_training_trace()).
+
+def _factor_v2(n_rows, width):
+    """Pick V2 so the stage-1 output is a few full MXU tiles wide."""
+    v2 = max(1, 1024 // max(width, 1))
+    return min(v2, n_rows)
+
+
+def factorized_supported(n_rows, width):
+    v2 = _factor_v2(n_rows, width)
+    # need a real factorization (v2 > 1) and a stage-1 contraction that
+    # is actually smaller than the direct one to win the lane economics
+    return v2 > 1 and n_rows // v2 >= 2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def onehot_lookup_factorized(table, ids):
+    """rows = table[ids] — factorized bf16 one-hot forward, direct
+    backward.  Numerically: each output element is an f32 accumulation
+    of bf16 products selecting one row, same as the direct form."""
+    return _fwd_fact(table, ids)[0]
+
+
+def _fwd_fact(table, ids):
+    R, W = table.shape
+    V2 = _factor_v2(R, W)
+    V1 = -(-R // V2)
+    pad = V1 * V2 - R
+    t = table.astype(jnp.bfloat16)
+    if pad:
+        t = jnp.concatenate(
+            [t, jnp.zeros((pad, W), jnp.bfloat16)], axis=0)
+    hi = ids // V2
+    lo = ids % V2
+    stage1 = jax.lax.dot_general(
+        _onehot(hi, V1, jnp.bfloat16), t.reshape(V1, V2 * W),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [n, V2*W] f32
+    oh_lo = _onehot(lo, V2, jnp.float32)
+    rows = jnp.einsum("nvw,nv->nw", stage1.reshape(-1, V2, W), oh_lo)
+    return rows.astype(jnp.bfloat16), (ids, R)
+
+
+onehot_lookup_factorized.defvjp(_fwd_fact, _bwd)

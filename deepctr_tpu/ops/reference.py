@@ -33,12 +33,20 @@ def cin_layer_ref(hidden, x0, w, b):
     return jnp.einsum("oc,bcd->bod", w, z) + b[None, :, None]
 
 
-def cin_mix_ref(hidden_t, x0_t, w3):
+def cin_mix_ref(hidden_t, x0_t, w3, out_dtype=None):
     """D-major CIN layer: hidden_t [B,D,H], x0_t [B,D,F], w3 [O,H,F]
     -> [B,D,O].  Same math as :func:`cin_layer_ref` with the emb axis
-    leading (out[b,d,o] = sum_{h,f} w3[o,h,f] h[b,d,h] x[b,d,f])."""
+    leading (out[b,d,o] = sum_{h,f} w3[o,h,f] h[b,d,h] x[b,d,f]).
+
+    ``out_dtype`` requests the contraction's accumulation/output dtype
+    (f32 under the CIN's f32-carry policy: bf16 operands run the MXU at
+    bf16 rate while the layer output never rounds to bf16 — see
+    layers/interaction.CIN)."""
     z = jnp.einsum("bdh,bdf->bdhf", hidden_t, x0_t)
-    return jnp.einsum("bdhf,ohf->bdo", z, w3)
+    if out_dtype is None:
+        return jnp.einsum("bdhf,ohf->bdo", z, w3)
+    return jnp.einsum("bdhf,ohf->bdo", z, w3,
+                      preferred_element_type=out_dtype)
 
 
 def cross_net_ref(x, kernels, bias, parameterization="vector"):

@@ -42,7 +42,11 @@ import numpy as np
 
 DEFAULT_PATH = "/tmp/criteo_synth.txt"
 N_SPARSE, N_DENSE = 26, 13
-SIG_VOCAB = 50_000       # distinct values of the signal-carrying columns
+# distinct values of the signal-carrying columns: small enough that a
+# few-hundred-k-row AUC subsample sees each value many times (the
+# protocol must be able to LEARN the signal); cardinality realism comes
+# from the other 24 columns at OTHER_VOCAB distinct values
+SIG_VOCAB = 2_000
 OTHER_VOCAB = 100_000    # distinct values elsewhere
 DIM = 4                  # latent dim of the planted interaction
 
@@ -175,10 +179,31 @@ def resident(path, vocab, batch, rows):
             break
     x = {k: np.concatenate(v)[:rows] for k, v in x_parts.items()}
     y = np.concatenate(y_parts)[:rows]
-    m.fit(x, y, batch_size=batch, epochs=1, verbose=0, shuffle=False)
-    t0 = time.time()
-    m.fit(x, y, batch_size=batch, epochs=1, verbose=0, shuffle=False)
-    dt = time.time() - t0
+    # the device-resident epoch runner engages when x is a flat
+    # [N, input_dim] jax.Array (fit's dispatch; dict-x takes the host
+    # per-batch loop whose ~30ms/dispatch tunnel round trips dominate)
+    import jax.numpy as jnp
+    X = jnp.asarray(m._assemble_x(x))
+
+    # time epoch 2 INSIDE one fit call: a second fit() re-uploads the
+    # host arrays through the tunnel (~8 MB/s) and measures the upload,
+    # not the device-resident loop
+    from deepctr_tpu.callbacks import Callback
+
+    class _EpochTimer(Callback):
+        def __init__(self):
+            self.t = []
+
+        def on_epoch_begin(self, epoch, logs=None):
+            self._t0 = time.time()
+
+        def on_epoch_end(self, epoch, logs=None):
+            self.t.append(time.time() - self._t0)
+
+    timer = _EpochTimer()
+    m.fit(X, y, batch_size=batch, epochs=2, verbose=0, shuffle=False,
+          callbacks=[timer])
+    dt = timer.t[-1]
     return {"resident_eps": round(rows / dt, 1), "rows": rows}
 
 
@@ -212,6 +237,8 @@ def auc_protocol(path, rows, frameworks=("ours", "reference"),
             dc_config.set_compute_dtype("bfloat16")
         else:
             sys.path.insert(0, "/root/reference")
+            import torch
+            torch.set_num_threads(os.cpu_count() or 8)
             from deepctr_torch.inputs import SparseFeat, DenseFeat  # noqa
             from deepctr_torch.models import DeepFM  # noqa
         cols = ([SparseFeat(f, data[f].max() + 1, 16)
