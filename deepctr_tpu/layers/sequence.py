@@ -203,16 +203,21 @@ def _gru_h_gates(h, w_hh, b_hh):
 
 
 def _gru_carry_dtype(dtype):
-    """f32-CARRY policy under bf16 compute (DEEPCTR_GRU_F32_CARRY=0
-    reverts): the recurrent hidden state's bf16 roundings COMPOUND over
-    T steps, measurably degrading converged quality (DIEN planted-
-    signal check, BASELINE round-5 — same mechanism as the CIN chain,
-    causally isolated there).  The gate matmuls still run on bf16
-    operands (full MXU rate); only the elementwise combine and the
-    carried h stay f32 — VPU-cheap next to the matmuls."""
+    """Opt-in f32 carry under bf16 compute (DEEPCTR_GRU_F32_CARRY=1):
+    the recurrent h rides f32 while the gate matmuls stay on bf16
+    operands (full MXU rate).
+
+    DEFAULT OFF — a measured no-win: the CIN's analogous f32-carry fix
+    was causally proven (BASELINE round-5), but rerunning the DIEN
+    planted-signal bf16 check with the f32 GRU carry left the gap
+    UNCHANGED (seed-0: -0.0090 before vs -0.0090 after, 60 epochs) —
+    the DIEN bf16 gap, whatever its mechanism, is not the carry — and
+    the carry costs 5.6% DIEN-100 training throughput (147.5k vs
+    156.2k ex/s/chip, same-session A/B).  Kept as a knob so the
+    experiment is one env var away."""
     import os
     if (dtype == jnp.bfloat16
-            and os.environ.get("DEEPCTR_GRU_F32_CARRY", "1") != "0"):
+            and os.environ.get("DEEPCTR_GRU_F32_CARRY", "0") == "1"):
         return jnp.float32
     return dtype
 

@@ -154,11 +154,25 @@ def stream(path, vocab, batch, n_chunks, chunk_rows=1 << 20):
                 break
             yield item
 
+    def _drain(m):
+        # force the device queue empty INSIDE the timed window: through
+        # the axon tunnel block_until_ready doesn't block and device_put
+        # is async, so a returned fit() may still have uploads + steps
+        # queued — read a scalar that depends on the LAST step's params
+        import jax
+        for leaf in jax.tree_util.tree_leaves(m.table_state) + \
+                jax.tree_util.tree_leaves(m.params):
+            if getattr(leaf, "size", 0):
+                float(leaf.reshape(-1)[0])
+                return
+
     # warm epoch (compiles) then a timed epoch — fit() caches its
     # per-geometry runners so epoch 2 is compile-free
     m.fit(capped, batch_size=batch, epochs=1, verbose=0)
+    _drain(m)
     t0 = time.time()
     m.fit(capped, batch_size=batch, epochs=1, verbose=0)
+    _drain(m)
     dt = time.time() - t0
     n = n_chunks * chunk_rows
     return {"stream_eps": round(n / dt, 1), "rows_per_epoch": n,
