@@ -134,18 +134,26 @@ class CIN(nn.Module):
                              "greater than 1")
         from ..ops import cin_mix
         dtype = config.compute_dtype()
-        # f32-CARRY policy under bf16 compute (DEEPCTR_CIN_F32_CARRY=0
-        # reverts): matmul OPERANDS are cast to bf16 (full MXU rate) but
-        # the carried activations — hidden maps fed to the next layer,
-        # whose bf16 roundings COMPOUND across the interaction chain —
-        # accumulate and stay in f32.  Causal probe (BASELINE round-5):
-        # a bf16 xDeepFM seed landing in a worse optimum (0.764 vs f32
-        # 0.802 on the planted-signal synthetic) recovers to 0.820 with
-        # the CIN chain in f32.
-        f32_carry = (dtype == jnp.bfloat16
-                     and _os.environ.get("DEEPCTR_CIN_F32_CARRY",
-                                         "1") != "0")
-        op_dtype = dtype
+        # DEEPCTR_CIN_DTYPE under bf16 compute: 'f32' (default) runs the
+        # whole CIN stack in f32; 'carry' keeps bf16 matmul operands
+        # with f32 carried activations; 'bf16' is the all-bf16 variant.
+        # Why f32 default: the bf16 CIN chain occasionally tips a seed
+        # into a ~0.03-worse optimum on the converged planted-signal
+        # check (2 bad draws in 6 with bf16 CIN ops, 0 in 3 with f32
+        # CIN ops; the worst seed recovers 0.764 -> 0.820 when ONLY the
+        # CIN goes f32 — BASELINE round-5).  The draw-level variance is
+        # larger than any per-op mean effect at n=3, so this is a
+        # robustness default, A/B-able by env; throughput costs are
+        # recorded in BASELINE.
+        mode = _os.environ.get("DEEPCTR_CIN_DTYPE", "f32")
+        if _os.environ.get("DEEPCTR_CIN_F32_CARRY") == "0":
+            mode = "bf16"   # back-compat with the earlier carry knob
+        if dtype != jnp.bfloat16 or not config.is_training_trace():
+            # inference traces keep bf16 ops: no trajectory to corrupt,
+            # and the Pallas CIN inference kernel (1.52x) stays live
+            mode = "off"
+        op_dtype = jnp.float32 if mode == "f32" else dtype
+        f32_carry = mode in ("f32", "carry")
         carry_dtype = jnp.float32 if f32_carry else dtype
         F = self.field_size
         field_nums = [F]

@@ -142,16 +142,25 @@ def _model(vocab, emb=16, hidden=(400, 400, 400)):
 
 
 def stream(path, vocab, batch, n_chunks, chunk_rows=1 << 20):
-    """Streaming fit throughput over the first n_chunks chunks."""
+    """Streaming fit throughput over the first n_chunks chunks.
+
+    Rows are COUNTED as yielded, not assumed: criteo_stream emits a
+    chunk per read-buffer drain (<= chunk_rows rows), so chunk count x
+    chunk_rows overstated the trained rows 14.7x in the first version
+    of this harness.  read_bytes is raised so chunks actually reach
+    chunk_rows (one runner dispatch + one upload per ~1M rows)."""
     from deepctr_tpu import criteo_stream
     m, cols = _model(vocab)
-    full = criteo_stream(path, cols, chunk_rows=chunk_rows)
+    full = criteo_stream(path, cols, chunk_rows=chunk_rows,
+                         read_bytes=1 << 28)
+    counter = {"rows": 0}
 
     def capped():
         it = full()
         for i, item in enumerate(it):
             if i >= n_chunks:
                 break
+            counter["rows"] += len(item[1])
             yield item
 
     def _drain(m):
@@ -170,11 +179,12 @@ def stream(path, vocab, batch, n_chunks, chunk_rows=1 << 20):
     # per-geometry runners so epoch 2 is compile-free
     m.fit(capped, batch_size=batch, epochs=1, verbose=0)
     _drain(m)
+    counter["rows"] = 0
     t0 = time.time()
     m.fit(capped, batch_size=batch, epochs=1, verbose=0)
     _drain(m)
     dt = time.time() - t0
-    n = n_chunks * chunk_rows
+    n = counter["rows"]
     return {"stream_eps": round(n / dt, 1), "rows_per_epoch": n,
             "batch": batch}
 
