@@ -134,18 +134,18 @@ class CIN(nn.Module):
                              "greater than 1")
         from ..ops import cin_mix
         dtype = config.compute_dtype()
-        # DEEPCTR_CIN_DTYPE under bf16 compute: 'f32' (default) runs the
-        # whole CIN stack in f32; 'carry' keeps bf16 matmul operands
-        # with f32 carried activations; 'bf16' is the all-bf16 variant.
-        # Why f32 default: the bf16 CIN chain occasionally tips a seed
-        # into a ~0.03-worse optimum on the converged planted-signal
-        # check (2 bad draws in 6 with bf16 CIN ops, 0 in 3 with f32
-        # CIN ops; the worst seed recovers 0.764 -> 0.820 when ONLY the
-        # CIN goes f32 — BASELINE round-5).  The draw-level variance is
-        # larger than any per-op mean effect at n=3, so this is a
-        # robustness default, A/B-able by env; throughput costs are
-        # recorded in BASELINE.
-        mode = _os.environ.get("DEEPCTR_CIN_DTYPE", "f32")
+        # DEEPCTR_CIN_DTYPE under bf16 compute: 'bf16' (default, full
+        # MXU rate), 'carry' (bf16 matmul operands, f32 carried hidden
+        # maps, -6.7%), 'f32' (whole stack f32, -26.6%).  Default is
+        # bf16 because the apparent bf16 quality effect did NOT survive
+        # more seeds: a 3-seed check suggested bf16 CIN chains tip
+        # seeds into worse optima (causal probe recovered one seed
+        # 0.764 -> 0.820), but seeds 3-8 showed f32 itself drawing as
+        # low as 0.744 — converged-optimum selection in this config is
+        # a +-0.04 seed lottery in BOTH dtypes, with no distinguishable
+        # dtype effect at n=9 (BASELINE round-5, full investigation).
+        # The knobs keep the perturbation study one env var away.
+        mode = _os.environ.get("DEEPCTR_CIN_DTYPE", "bf16")
         if _os.environ.get("DEEPCTR_CIN_F32_CARRY") == "0":
             mode = "bf16"   # back-compat with the earlier carry knob
         if dtype != jnp.bfloat16 or not config.is_training_trace():
