@@ -214,9 +214,18 @@ class EmbeddingDict(nn.Module):
                 # backward materializes a [n, V2*W] cotangent and
                 # measured 2.7x worse
                 import os as _os
-                if (not config.is_training_trace()
-                        and _os.environ.get(
-                            "DEEPCTR_FACTORIZED_ONEHOT", "1") != "0"
+                fmode = _os.environ.get("DEEPCTR_FACTORIZED_ONEHOT",
+                                        "all")
+                # "all" (default): factorized FORWARD on training and
+                # inference traces — bit-equal to the direct form (the
+                # custom_vjp keeps the DIRECT backward either way;
+                # golden tests) and measured faster end-to-end on both:
+                # DIEN-100 train +6.4%, DIN-100 train +9% (interleaved
+                # pairs), DIEN-100 predict +13.6%.  "1": inference
+                # only; "0": off.
+                if (fmode != "0"
+                        and (fmode == "all"
+                             or not config.is_training_trace())
                         and factorized_supported(*table.shape)):
                     rows = onehot_lookup_factorized(table, flat)
                 else:

@@ -188,16 +188,23 @@ def test_onehot_mode_with_active_rows_packed(monkeypatch):
     config.set_compute_dtype("bfloat16")
     calls = []
     real = mod.onehot_lookup
+    real_fact = mod.onehot_lookup_factorized
 
     def spy(table, ids):
         calls.append(tuple(table.shape))
         return real(table, ids)
+
+    def spy_fact(table, ids):   # default "all" routes training here
+        calls.append(tuple(table.shape))
+        return real_fact(table, ids)
 
     try:
         losses = {}
         for mode in ("off", "onehot"):
             if mode == "onehot":
                 monkeypatch.setattr(mod, "onehot_lookup", spy)
+                monkeypatch.setattr(mod, "onehot_lookup_factorized",
+                                    spy_fact)
             monkeypatch.setenv("DEEPCTR_GATHER_MODE", mode)
             m = DeepFM(cols, cols, seed=7)
             m.compile("adagrad", "binary_crossentropy",
@@ -288,9 +295,11 @@ def test_factorized_grad_equals_direct():
     np.testing.assert_array_equal(np.asarray(g_fact), np.asarray(g_dir))
 
 
-def test_factorized_dispatches_only_at_inference(monkeypatch):
-    """Predict traces take the factorized lowering; train traces keep
-    the direct one (its backward is the measured-2.7x-worse path)."""
+def test_factorized_dispatch_modes(monkeypatch):
+    """Default ("all"): both train and predict traces take the
+    factorized FORWARD (its custom_vjp keeps the direct backward, so
+    numerics are bit-equal and both directions measured faster).
+    DEEPCTR_FACTORIZED_ONEHOT=1 restricts it to inference traces."""
     import deepctr_tpu.ops.onehot_lookup as ol
     from deepctr_tpu import config as dc_config
     from deepctr_tpu.features import SparseFeat, VarLenSparseFeat
@@ -326,8 +335,17 @@ def test_factorized_dispatches_only_at_inference(monkeypatch):
         y = np.random.randint(0, 2, 32).astype(np.float32)
         m.compile("adagrad", "binary_crossentropy")
         m.fit(x, y, batch_size=32, epochs=1, verbose=0)
+        assert calls["fact"] > 0 and calls["direct"] == 0, calls
+
+        # inference-only mode: a fresh model's train trace goes direct
+        monkeypatch.setenv("DEEPCTR_FACTORIZED_ONEHOT", "1")
+        calls["fact"] = calls["direct"] = 0
+        m2 = DIN(cols, ["item"], dnn_hidden_units=(8,),
+                 att_activation="relu")
+        m2.compile("adagrad", "binary_crossentropy")
+        m2.fit(x, y, batch_size=32, epochs=1, verbose=0)
         assert calls["direct"] > 0 and calls["fact"] == 0, calls
-        m.predict(x, 32)
+        m2.predict(x, 32)
         assert calls["fact"] > 0, calls
     finally:
         dc_config.set_compute_dtype("float32")
