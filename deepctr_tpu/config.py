@@ -128,18 +128,25 @@ def set_gather_mode(mode):
 _ONEHOT_MIN_IDS = 32768
 
 
-def gather_mode(substituted=False, big=False, n_ids=None):
+def gather_mode(substituted=False, big=False, n_ids=None,
+                table_shape=None):
     """Resolve the small-table gather mode (env override > config).
 
     ``substituted`` says whether the lookup target is an active-rows
     substituted slice (vs a full small table); ``big`` whether the
     DECLARED table is packed-storage scale; ``n_ids`` the id count of
     the MODEL'S LARGEST lookup (B * max maxlen — model-level on
-    purpose, see the block comment above) — "auto" resolves to the
-    per-regime A/B winner: "cast" for substituted slices of big
-    tables, "onehot" for full small tables in models with a
-    sequence-scale lookup, "off" otherwise.
-    """
+    purpose, see the block comment above); ``table_shape`` the stored
+    [rows, width] of THIS table.  "auto" resolves to the per-regime
+    A/B winner: "cast" for substituted slices of big tables; "onehot"
+    for full small tables whenever the FACTORIZED forward supports the
+    shape (TPU v5e 2026-08-20: the factorized bf16 one-hot beat XLA's
+    own gather lowering at the 4096-id standard shape by +38-40% —
+    1.82M -> 2.55M ex/s/chip, interleaved pairs — flipping round-3's
+    direct-one-hot crossover, which only won at >= 32768 ids) or, for
+    unsupported-but-sequence-scale lookups, the direct one-hot;
+    "off" otherwise (tiny tables at small id counts: forcing onehot
+    everywhere measured -7.5% at criteo_real)."""
     import os
     env = os.environ.get("DEEPCTR_GATHER_MODE")
     if env:
@@ -160,6 +167,13 @@ def gather_mode(substituted=False, big=False, n_ids=None):
                                      _ONEHOT_MIN_IDS))
         if not substituted and n_ids is not None and n_ids >= min_ids:
             return "onehot"
+        if (not substituted and table_shape is not None
+                and os.environ.get("DEEPCTR_FACTORIZED_ONEHOT",
+                                   "all") == "all"):
+            rows, width = table_shape
+            v2 = min(rows, max(1, 1024 // max(width, 1)))
+            if v2 > 1 and rows // v2 >= 2:   # factorized-supported
+                return "onehot"
         return "off"
     return mode
 

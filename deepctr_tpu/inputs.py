@@ -202,7 +202,8 @@ class EmbeddingDict(nn.Module):
             gmode = config.gather_mode(
                 substituted=substituted,
                 big=name in self.table_packs,
-                n_ids=row_ids.shape[0] * self._max_maxlen)
+                n_ids=row_ids.shape[0] * self._max_maxlen,
+                table_shape=tuple(table.shape))
             if gmode == "onehot":
                 from .ops.onehot_lookup import (onehot_lookup,
                                                 onehot_lookup_factorized,
