@@ -349,3 +349,21 @@ def test_factorized_dispatch_modes(monkeypatch):
         assert calls["fact"] > 0, calls
     finally:
         dc_config.set_compute_dtype("float32")
+
+
+def test_auto_rule_formula_matches_factorized_supported():
+    """config.gather_mode inlines the factorization-support formula
+    (importing ops from config would cycle); it must stay in lockstep
+    with ops.onehot_lookup.factorized_supported or auto would route
+    tables to a lowering the op then refuses (silent direct fallback —
+    wrong perf, right numerics — this pins the intent)."""
+    from deepctr_tpu.ops.onehot_lookup import factorized_supported
+
+    def config_formula(rows, width):
+        v2 = min(rows, max(1, 1024 // max(width, 1)))
+        return v2 > 1 and rows // v2 >= 2
+
+    for rows in (2, 3, 24, 100, 305, 1460, 10000, 93145, 4104):
+        for width in (1, 4, 8, 17, 32, 128):
+            assert (config_formula(rows, width)
+                    == factorized_supported(rows, width)), (rows, width)
